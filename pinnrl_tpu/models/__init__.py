@@ -1,0 +1,148 @@
+"""Model factory (reference: pinnrl/neural_networks/__init__.py:61-154).
+
+``PINNModel`` dispatches on ``config.model.architecture`` and wraps a flax
+module together with its initialized variables. Trainable parameters (the
+``params`` collection) are exposed separately from fixed constants (e.g. the
+Fourier-feature projection matrix — the ``constants`` collection) so the
+optimizer sees only trainables and the pure ``apply(params, x)`` closure can
+be jitted/vmapped/differentiated freely.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from pinnrl_tpu.config import Config, ModelConfig
+from pinnrl_tpu.models.attention import AttentionNetwork
+from pinnrl_tpu.models.autoencoder import AutoEncoder
+from pinnrl_tpu.models.base import count_parameters, load_state, save_state
+from pinnrl_tpu.models.feedforward import FeedForwardNetwork
+from pinnrl_tpu.models.fno import FNONetwork
+from pinnrl_tpu.models.fourier import FourierNetwork
+from pinnrl_tpu.models.resnet import ResNet
+from pinnrl_tpu.models.siren import SIREN
+
+__all__ = [
+    "PINNModel",
+    "create_module",
+    "FeedForwardNetwork",
+    "ResNet",
+    "SIREN",
+    "FourierNetwork",
+    "FNONetwork",
+    "AttentionNetwork",
+    "AutoEncoder",
+    "count_parameters",
+    "save_state",
+    "load_state",
+]
+
+
+def create_module(model_cfg: ModelConfig):
+    """Build the flax module for a ModelConfig."""
+    arch = model_cfg.architecture
+    ap = model_cfg.arch_params
+    common = dict(input_dim=model_cfg.input_dim, output_dim=model_cfg.output_dim)
+
+    if arch == "feedforward":
+        return FeedForwardNetwork(
+            hidden_dims=tuple(model_cfg.hidden_dims),
+            activation=model_cfg.activation,
+            dropout=model_cfg.dropout,
+            layer_norm=model_cfg.layer_norm,
+            **common,
+        )
+    if arch == "resnet":
+        return ResNet(
+            hidden_dim=model_cfg.hidden_dim,
+            num_blocks=model_cfg.num_blocks,
+            activation=model_cfg.activation,
+            dropout=model_cfg.dropout,
+            **common,
+        )
+    if arch == "siren":
+        return SIREN(
+            hidden_dims=tuple(model_cfg.hidden_dims),
+            omega_0=float(ap.get("omega_0", 30.0)),
+            **common,
+        )
+    if arch == "fourier":
+        return FourierNetwork(
+            hidden_dims=tuple(model_cfg.hidden_dims),
+            mapping_size=int(ap.get("mapping_size", 512)),
+            scale=float(ap.get("scale", 4.0)),
+            periodic=bool(ap.get("periodic", True)),
+            activation=model_cfg.activation,
+            dropout=model_cfg.dropout,
+            layer_norm=model_cfg.layer_norm,
+            **common,
+        )
+    if arch == "fno":
+        return FNONetwork(
+            hidden_dim=int(ap.get("hidden_dim", 256)),
+            num_blocks=int(ap.get("num_blocks", 4)),
+            modes=int(ap.get("modes", 16)),
+            activation=model_cfg.activation if model_cfg.activation != "tanh" else "gelu",
+            dropout=model_cfg.dropout,
+            **common,
+        )
+    if arch == "attention":
+        return AttentionNetwork(
+            hidden_dim=int(ap.get("hidden_dim", 124)),
+            num_layers=int(ap.get("num_layers", ap.get("num_blocks", 4))),
+            num_heads=int(ap.get("num_heads", 4)),
+            activation=model_cfg.activation if model_cfg.activation != "tanh" else "gelu",
+            dropout=model_cfg.dropout,
+            **common,
+        )
+    if arch == "autoencoder":
+        return AutoEncoder(
+            hidden_dims=tuple(model_cfg.hidden_dims),
+            latent_dim=int(ap.get("latent_dim", 64)),
+            activation=model_cfg.activation,
+            dropout=model_cfg.dropout,
+            layer_norm=model_cfg.layer_norm,
+            **common,
+        )
+    raise ValueError(f"Unknown architecture {arch!r}")
+
+
+class PINNModel:
+    """Architecture factory + pure apply wrapper (reference: neural_networks/__init__.py:61-154)."""
+
+    def __init__(self, config: Config | ModelConfig, rng: Optional[jax.Array] = None, seed: int = 0):
+        model_cfg = config.model if isinstance(config, Config) else config
+        self.config = model_cfg
+        self.architecture_name = model_cfg.architecture
+        self.module = create_module(model_cfg)
+        rng = rng if rng is not None else jax.random.PRNGKey(seed)
+        dummy = jnp.zeros((1, model_cfg.input_dim), jnp.float32)
+        variables = self.module.init(rng, dummy)
+        self.constants: Dict[str, Any] = {
+            k: v for k, v in variables.items() if k != "params"
+        }
+        self.params = variables["params"]
+
+    def apply(self, params, x, deterministic: bool = True):
+        """Pure forward pass: ``x`` is (..., input_dim); works point-wise or batched."""
+        return self.module.apply(
+            {"params": params, **self.constants}, x, deterministic=deterministic
+        )
+
+    def __call__(self, x):
+        return self.apply(self.params, x)
+
+    def count_parameters(self) -> int:
+        return count_parameters(self.params)
+
+    def save_state(self, path: str) -> None:
+        save_state(path, {"params": self.params, **self.constants}, config=None)
+
+    def load_state(self, path: str) -> None:
+        template = {"params": self.params, **self.constants}
+        restored = load_state(path, template)
+        self.params = restored["params"]
+        self.constants = {k: v for k, v in restored.items() if k != "params"}

@@ -1,0 +1,66 @@
+"""Fourier-feature network (reference: pinnrl/neural_networks/fourier.py:19-124).
+
+A fixed random projection ``B ~ N(0, scale^2)`` embeds coordinates as
+``[sin(x B), cos(x B)]`` (optionally with a 2*pi periodic factor), followed
+by an MLP. ``B`` is a non-trainable variable (flax "constants" collection),
+the analog of the reference's registered buffer.
+
+The embedding is a single matmul + sin/cos — XLA fuses it straight into the
+first MXU matmul of the MLP; a Pallas fused variant lives in
+``pinnrl_tpu.ops.kernels.fourier_feats`` for the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pinnrl_tpu.models.base import get_activation
+
+
+class FourierFeatures(nn.Module):
+    mapping_size: int = 512
+    scale: float = 4.0
+    periodic: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        B = self.variable(
+            "constants",
+            "B",
+            lambda: self.scale
+            * jax.random.normal(self.make_rng("params"), (in_dim, self.mapping_size)),
+        ).value
+        proj = x @ B
+        if self.periodic:
+            proj = 2.0 * jnp.pi * proj
+        return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+
+
+class FourierNetwork(nn.Module):
+    input_dim: int
+    output_dim: int
+    hidden_dims: Sequence[int] = (512,) * 4
+    mapping_size: int = 512
+    scale: float = 4.0
+    periodic: bool = True
+    activation: str = "tanh"
+    dropout: float = 0.0
+    layer_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        act = get_activation(self.activation)
+        x = FourierFeatures(self.mapping_size, self.scale, self.periodic)(x)
+        for width in self.hidden_dims:
+            x = nn.Dense(width)(x)
+            if self.layer_norm:
+                x = nn.LayerNorm()(x)
+            x = act(x)
+            if self.dropout > 0.0:
+                x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return nn.Dense(self.output_dim)(x)

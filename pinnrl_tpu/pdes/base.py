@@ -1,0 +1,552 @@
+"""PDE problem base class — pure-functional physics layer.
+
+TPU-native redesign of the reference's ``PDEBase``
+(reference: pinnrl/pdes/pde_base.py:50-1562). Key differences:
+
+- A PDE subclass defines a **point-wise residual** ``residual_pointwise(u, z,
+  coeffs)`` where ``u: (dim+1,) -> scalar`` is the network restricted to one
+  point and derivatives come from the forward-mode engine in
+  ``pinnrl_tpu.ops.derivatives``. The batch residual is ``vmap`` of that —
+  one fused XLA program instead of torch autograd chains.
+- PDE coefficients are explicit: ``coeffs`` is a dict pytree. In inverse
+  mode the trainable subset lives inside the optimized parameter pytree
+  (no ``nn.ParameterDict`` registry needed — reference: pde_base.py:199-279);
+  the non-trainable rest are static Python floats baked into the trace.
+- ``compute_loss`` assembles residual/boundary/initial/smoothness/data terms
+  with the reference's mode gating (``data_only`` zeroes physics;
+  inverse/data modes force a non-zero data weight —
+  reference: pde_base.py:1086-1235) and is fully jittable (static shapes,
+  randomness via an explicit PRNG key).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pinnrl_tpu.config import PDESettings, TrainingConfig
+from pinnrl_tpu.ops.derivatives import derivative_bundle
+from pinnrl_tpu.ops.losses import apply_loss_fn
+from pinnrl_tpu.sampling import (
+    sample_adaptive,
+    sample_residual_based,
+    sample_stratified,
+    sample_uniform,
+)
+
+PointFn = Callable[[jax.Array], jax.Array]
+Coeffs = Dict[str, jax.Array]
+
+# Populated by @register_pde; maps pde_type -> class.
+PDE_CLASSES: Dict[str, type] = {}
+
+
+def register_pde(cls):
+    PDE_CLASSES[cls.pde_type] = cls
+    return cls
+
+
+class PDEBase:
+    """Base PDE problem: physics, BC/IC targets, sampling, loss assembly."""
+
+    pde_type = "base"
+    # Coefficients this PDE reads, with defaults (overridden by settings.parameters).
+    default_parameters: Dict[str, Any] = {}
+
+    def __init__(
+        self,
+        settings: PDESettings,
+        training: Optional[TrainingConfig] = None,
+    ) -> None:
+        self.settings = settings
+        self.training = training
+        self.dimension = int(settings.dimension)
+        self.domain = [(float(lo), float(hi)) for lo, hi in settings.domain]
+        self.time_domain = (float(settings.time_domain[0]), float(settings.time_domain[1]))
+        self.parameters: Dict[str, Any] = {**self.default_parameters, **(settings.parameters or {})}
+
+        # Inverse-problem machinery (reference: pde_base.py:199-214): the TRUE
+        # values stay in ``self.parameters``; initial guesses seed the
+        # trainable coeff pytree returned by ``init_coeffs``.
+        self.trainable_parameters = list(settings.trainable_parameters or [])
+        self._true_parameters = {k: float(self.parameters[k]) for k in self.trainable_parameters}
+        self._initial_guesses = {
+            k: float(settings.parameter_initial_guesses.get(k, self.parameters[k]))
+            for k in self.trainable_parameters
+        }
+
+        # Observation data for inverse / data modes: tuple (x, t, u) arrays.
+        self.observations: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None
+        if settings.observation_data is not None:
+            self._load_observation_data(settings.observation_data)
+
+        # BC/IC target closures (reference: pde_base.py:492-575).
+        self.boundary_conditions: Dict[str, Callable] = {}
+        for bc_type, bc_params in (settings.boundary_conditions or {}).items():
+            self.boundary_conditions[bc_type] = self._create_boundary_condition(
+                bc_type, bc_params or {}
+            )
+        if settings.initial_condition:
+            self.boundary_conditions["initial"] = self._create_boundary_condition(
+                "initial", settings.initial_condition
+            )
+
+        self.collocation_history: list = []
+        self._validate_parameters()
+
+    # ------------------------------------------------------------------ #
+    # Factory
+    # ------------------------------------------------------------------ #
+
+    @staticmethod
+    def create(pde_type: str, settings: PDESettings, training: Optional[TrainingConfig] = None):
+        """Name-based factory (reference: pde_base.py:56-130)."""
+        key = pde_type.lower().replace("-", "_").replace(" ", "_")
+        key = {"heat_2d": "heat", "heat2d": "heat"}.get(key, key)
+        aliases = {
+            "heatequation": "heat",
+            "waveequation": "wave",
+            "burgersequation": "burgers",
+            "kdvequation": "kdv",
+            "convectionequation": "convection",
+            "allencahn": "allen_cahn",
+            "cahnhilliard": "cahn_hilliard",
+            "blackscholes": "black_scholes",
+            "pendulumequation": "pendulum",
+        }
+        key = aliases.get(key, key)
+        if key not in PDE_CLASSES:
+            raise ValueError(f"Unknown PDE type {pde_type!r}; valid: {sorted(PDE_CLASSES)}")
+        return PDE_CLASSES[key](settings, training)
+
+    # ------------------------------------------------------------------ #
+    # Coefficients
+    # ------------------------------------------------------------------ #
+
+    def init_coeffs(self) -> Coeffs:
+        """Trainable coefficient pytree seeded from initial guesses."""
+        return {k: jnp.asarray(v, jnp.float32) for k, v in self._initial_guesses.items()}
+
+    def coeff(self, coeffs: Optional[Coeffs], name: str, default: Any = None):
+        """Live coefficient value: trainable pytree leaf if present, else the
+        static config value (reference: pde_base.py:246-279)."""
+        if coeffs is not None and name in coeffs:
+            return coeffs[name]
+        if name in self.parameters:
+            val = self.parameters[name]
+            return val if isinstance(val, (list, tuple)) else float(val)
+        if default is not None:
+            return default
+        raise KeyError(f"PDE parameter {name!r} not configured and no default")
+
+    @property
+    def true_parameters(self) -> Dict[str, float]:
+        return dict(self._true_parameters)
+
+    def get_trainable_parameter_values(self, coeffs: Coeffs) -> Dict[str, float]:
+        return {k: float(v) for k, v in coeffs.items()}
+
+    def _validate_parameters(self) -> None:
+        """Subclasses check required coefficients here."""
+
+    # ------------------------------------------------------------------ #
+    # Physics (abstract)
+    # ------------------------------------------------------------------ #
+
+    def residual_pointwise(self, u: PointFn, z: jax.Array, coeffs: Optional[Coeffs]) -> jax.Array:
+        raise NotImplementedError
+
+    def exact_solution(self, x: jax.Array, t: jax.Array, coeffs: Optional[Coeffs] = None):
+        """Batched exact solution u(x, t); None when unavailable."""
+        return None
+
+    # Derivative orders the residual needs; used by trainer diagnostics.
+    spatial_orders: Tuple[int, ...] = (1, 2)
+    temporal_orders: Tuple[int, ...] = (1,)
+
+    def _scalar_u(self, apply_fn: Callable, params) -> PointFn:
+        """Point-wise scalar restriction of the network (channel 0)."""
+
+        def u(z: jax.Array) -> jax.Array:
+            out = apply_fn(params, z)
+            return jnp.reshape(out, (-1,))[0]
+
+        return u
+
+    def compute_residual(
+        self,
+        apply_fn: Callable,
+        params,
+        x: jax.Array,
+        t: jax.Array,
+        coeffs: Optional[Coeffs] = None,
+    ) -> jax.Array:
+        """Batched residual: vmap of the point-wise residual. (N, 1)."""
+        u = self._scalar_u(apply_fn, params)
+        z = jnp.concatenate([x, t], axis=-1)
+        r = jax.vmap(lambda zz: self.residual_pointwise(u, zz, coeffs))(z)
+        return r.reshape(-1, 1)
+
+    def compute_derivatives(
+        self,
+        apply_fn: Callable,
+        params,
+        x: jax.Array,
+        t: jax.Array,
+        spatial_derivatives=(1, 2),
+        temporal_derivatives=(1,),
+    ) -> Dict[str, jax.Array]:
+        """Reference-compatible derivative bundle (reference: pde_base.py:590-794)."""
+        u = self._scalar_u(apply_fn, params)
+        z = jnp.concatenate([x, t], axis=-1)
+        bundle = jax.vmap(
+            lambda zz: derivative_bundle(
+                u,
+                zz,
+                dimension=self.dimension,
+                spatial_orders=tuple(spatial_derivatives),
+                temporal_orders=tuple(temporal_derivatives),
+            )
+        )(z)
+        return {k: v.reshape(-1, 1) for k, v in bundle.items()}
+
+    # ------------------------------------------------------------------ #
+    # BC / IC targets
+    # ------------------------------------------------------------------ #
+
+    def _create_boundary_condition(self, bc_type: str, params: Dict[str, Any]) -> Callable:
+        """BC/IC type string -> jnp target closure (reference: pde_base.py:492-575)."""
+        if bc_type in ("left", "right"):
+            bc_type = "dirichlet"
+
+        if bc_type == "dirichlet":
+            value = float(params.get("value", 0.0) or 0.0)
+            return lambda x, t: jnp.full_like(x[:, 0:1], value)
+
+        if bc_type == "neumann":
+            value = float(params.get("value", 0.0) or 0.0)
+            return lambda x, t: jnp.full_like(x[:, 0:1], value)
+
+        if bc_type == "periodic":
+            if self.dimension == 1:
+                return lambda x, t: jnp.sin(2 * jnp.pi * x[:, 0:1])
+            return lambda x, t: jnp.sin(2 * jnp.pi * jnp.sum(x, axis=1, keepdims=True))
+
+        if bc_type == "initial":
+            return self._create_initial_condition(params)
+
+        # Unsupported -> zero target (reference warns and defaults to zero).
+        return lambda x, t: jnp.zeros_like(x[:, 0:1])
+
+    def _create_initial_condition(self, params: Dict[str, Any]) -> Callable:
+        ic_type = params.get("type", "sine")
+
+        if ic_type in ("sine", "sin", "sin_exp_decay"):
+            A = float(params.get("amplitude", 1.0))
+            k = float(params.get("frequency", 1.0))
+            return lambda x, t: A * jnp.sin(k * jnp.pi * x[:, 0:1])
+
+        if ic_type == "tanh":
+            eps = float(params.get("epsilon", 0.1))
+            return lambda x, t: jnp.tanh(x[:, 0:1] / eps)
+
+        if ic_type == "gaussian":
+            mean = float(params.get("mean", params.get("center", 0.0)))
+            std = float(params.get("std", params.get("sigma", 0.1)))
+            A = float(params.get("amplitude", 1.0))
+            return lambda x, t: A * jnp.exp(-((x[:, 0:1] - mean) ** 2) / (2 * std**2))
+
+        if ic_type == "fixed":
+            value = float(params.get("value", 0.0))
+            return lambda x, t: jnp.full_like(x[:, 0:1], value)
+
+        if ic_type == "random":
+            amplitude = float(params.get("amplitude", 0.1))
+            seed = int(params.get("seed", 0))
+
+            def random_ic(x, t):
+                # Deterministic per-point noise: hash the coordinates so the
+                # target is a fixed function (jit-pure, reproducible).
+                key = jax.random.PRNGKey(seed)
+                noise = jax.random.uniform(key, x[:, 0:1].shape, minval=-1.0, maxval=1.0)
+                return amplitude * noise
+
+            return random_ic
+
+        if ic_type == "small_angle":
+            theta0 = float(params.get("initial_angle", 0.5))
+            return lambda x, t: jnp.full_like(x[:, 0:1], theta0)
+
+        if ic_type == "option":
+            strike = float(params.get("strike", params.get("strike_price", 100.0)))
+            option_type = params.get("option_type", "call")
+            if option_type == "call":
+                return lambda x, t: jnp.maximum(x[:, 0:1] - strike, 0.0)
+            return lambda x, t: jnp.maximum(strike - x[:, 0:1], 0.0)
+
+        return lambda x, t: jnp.zeros_like(x[:, 0:1])
+
+    # ------------------------------------------------------------------ #
+    # Sampling
+    # ------------------------------------------------------------------ #
+
+    def generate_collocation_points(
+        self,
+        key: jax.Array,
+        num_points: int,
+        strategy: str = "uniform",
+        residual_fn: Optional[Callable] = None,
+        score_fn: Optional[Callable] = None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Strategy dispatcher (reference: pde_base.py:937-1084)."""
+        if strategy == "uniform":
+            return sample_uniform(key, num_points, self.domain, self.time_domain)
+        if strategy == "stratified":
+            return sample_stratified(key, num_points, self.domain, self.time_domain)
+        if strategy == "residual_based":
+            return sample_residual_based(
+                key, num_points, self.domain, self.time_domain, residual_fn=residual_fn
+            )
+        if strategy == "adaptive":
+            return sample_adaptive(
+                key, num_points, self.domain, self.time_domain, score_fn=score_fn
+            )
+        raise ValueError(f"Unknown sampling strategy {strategy!r}")
+
+    # ------------------------------------------------------------------ #
+    # Observations (inverse / data modes)
+    # ------------------------------------------------------------------ #
+
+    def _load_observation_data(self, spec: Any) -> None:
+        """Accepts an .npz path, dict of arrays, tuple, or a Well dataset spec
+        (reference: pde_base.py:359-420)."""
+        if isinstance(spec, dict) and spec.get("source") == "well":
+            from pinnrl_tpu.datasets import load_well_slice
+
+            arrs = load_well_slice(**{k: v for k, v in spec.items() if k != "source"})
+            self.set_observations(arrs["x"], arrs["t"], arrs["u"])
+            return
+        if isinstance(spec, str):
+            with np.load(spec) as data:
+                self.set_observations(data["x"], data["t"], data["u"])
+            return
+        if isinstance(spec, dict):
+            self.set_observations(spec["x"], spec["t"], spec["u"])
+            return
+        if isinstance(spec, (tuple, list)) and len(spec) == 3:
+            self.set_observations(*spec)
+            return
+        raise ValueError(f"Unsupported observation_data spec: {type(spec)}")
+
+    def set_observations(self, x, t, u) -> None:
+        x = jnp.asarray(x, jnp.float32).reshape(-1, self.dimension)
+        t = jnp.asarray(t, jnp.float32).reshape(-1, 1)
+        u = jnp.asarray(u, jnp.float32)
+        u = u.reshape(x.shape[0], -1)
+        self.observations = (x, t, u)
+
+    def generate_synthetic_observations(
+        self, key: jax.Array, num_points: int = 200, noise: float = 0.0
+    ) -> None:
+        """Sample the exact solution at the TRUE parameter values and add
+        Gaussian noise (reference: pde_base.py:422-472 — the trainable dict is
+        hidden so targets don't encode the initial guess; here exact_solution
+        with ``coeffs=None`` reads the true static values by construction)."""
+        k_pts, k_noise = jax.random.split(key)
+        x, t = sample_uniform(k_pts, num_points, self.domain, self.time_domain)
+        u = self.exact_solution(x, t, coeffs=None)
+        if u is None:
+            raise ValueError(f"{self.pde_type}: no exact solution to synthesize observations from")
+        if noise > 0:
+            u = u + noise * jax.random.normal(k_noise, u.shape)
+        self.set_observations(x, t, u)
+
+    def _compute_data_loss(self, apply_fn: Callable, params) -> jax.Array:
+        """Observation misfit (reference: pde_base.py:281-291)."""
+        if self.observations is None:
+            return jnp.zeros(())
+        x_obs, t_obs, u_obs = self.observations
+        pred = apply_fn(params, jnp.concatenate([x_obs, t_obs], axis=-1))
+        pred = pred.reshape(u_obs.shape[0], -1)
+        return self._loss(pred - u_obs)
+
+    # ------------------------------------------------------------------ #
+    # Loss assembly
+    # ------------------------------------------------------------------ #
+
+    def _loss(self, diff: jax.Array) -> jax.Array:
+        lf, delta = "mse", 1.0
+        if self.training is not None:
+            lf = getattr(self.training, "loss_function", "mse")
+            delta = float(getattr(self.training, "huber_delta", 1.0))
+        return apply_loss_fn(diff, lf, delta)
+
+    def _training_mode(self) -> str:
+        return getattr(self.training, "mode", "forward") if self.training else "forward"
+
+    def _loss_weights(self) -> Dict[str, float]:
+        lw = {}
+        if self.training is not None:
+            lw = dict(getattr(self.training, "loss_weights", {}) or {})
+        return lw
+
+    def _boundary_skeleton(self, n_time: int = 100):
+        """Static boundary evaluation points: every domain face x a time
+        linspace (reference: pde_base.py:1100-1125). Precomputed with numpy so
+        it folds to constants under jit."""
+        faces = []
+        for dim in range(self.dimension):
+            faces.extend([self.domain[dim][0], self.domain[dim][1]])
+        t_line = np.linspace(self.time_domain[0], self.time_domain[1], n_time)
+        x_b = np.repeat(np.array(faces, np.float32).reshape(-1, 1), n_time, axis=0)
+        t_b = np.tile(t_line.astype(np.float32).reshape(-1, 1), (len(faces), 1))
+        if self.dimension > 1:
+            # Face value goes in column 0 (mirrors the reference's 1-column
+            # boundary tensor broadcast); remaining coords at domain midpoints.
+            mids = np.array(
+                [0.5 * (lo + hi) for lo, hi in self.domain], np.float32
+            )
+            x_full = np.tile(mids, (x_b.shape[0], 1))
+            x_full[:, 0] = x_b[:, 0]
+            x_b = x_full
+        return jnp.asarray(x_b), jnp.asarray(t_b)
+
+    def _initial_skeleton(self, n: int = 100):
+        x_line = np.linspace(self.domain[0][0], self.domain[0][1], n, dtype=np.float32)
+        if self.dimension == 1:
+            x_i = x_line.reshape(-1, 1)
+        else:
+            axes = [
+                np.linspace(lo, hi, max(2, int(round(n ** (1 / self.dimension)))))
+                for lo, hi in self.domain
+            ]
+            mesh = np.meshgrid(*axes, indexing="ij")
+            x_i = np.stack([m.reshape(-1) for m in mesh], axis=-1).astype(np.float32)
+        t_i = np.zeros((x_i.shape[0], 1), np.float32)
+        return jnp.asarray(x_i), jnp.asarray(t_i)
+
+    def compute_loss(
+        self,
+        apply_fn: Callable,
+        params,
+        x: jax.Array,
+        t: jax.Array,
+        coeffs: Optional[Coeffs] = None,
+        key: Optional[jax.Array] = None,
+    ) -> Dict[str, jax.Array]:
+        """Assemble all loss components (reference: pde_base.py:1086-1235).
+
+        Fully jittable: boundary/initial evaluation points are static
+        constants; mode/weight gating happens at trace time.
+        """
+        residual = self.compute_residual(apply_fn, params, x, t, coeffs)
+        residual_loss = self._loss(residual)
+
+        x_b, t_b = self._boundary_skeleton()
+        boundary_loss = jnp.zeros(())
+        u_fn = lambda xx, tt: apply_fn(params, jnp.concatenate([xx, tt], axis=-1)).reshape(
+            xx.shape[0], -1
+        )[:, 0:1]
+        for bc_type, bc_func in self.boundary_conditions.items():
+            if bc_type == "initial":
+                continue
+            u_boundary = u_fn(x_b, t_b)
+            u_target = bc_func(x_b, t_b)
+            boundary_loss = boundary_loss + self._loss(u_boundary - u_target)
+
+        x_i, t_i = self._initial_skeleton()
+        u_initial = u_fn(x_i, t_i)
+        ic_fn = self.boundary_conditions.get("initial")
+        u_target_i = ic_fn(x_i, t_i) if ic_fn is not None else jnp.zeros_like(u_initial)
+        initial_loss = self._loss(u_initial - u_target_i)
+
+        data_loss = self._compute_data_loss(apply_fn, params)
+        smoothness_loss = jnp.zeros(())
+
+        return self._assemble_total(
+            residual_loss, boundary_loss, initial_loss, smoothness_loss, data_loss
+        )
+
+    def _assemble_total(
+        self, residual_loss, boundary_loss, initial_loss, smoothness_loss, data_loss
+    ) -> Dict[str, jax.Array]:
+        """Mode gating + fixed/adaptive weighting (reference: pde_base.py:1189-1235)."""
+        lw = self._loss_weights()
+        smoothness_weight = float(lw.get("smoothness", 0.0))
+        data_weight = float(lw.get("data", 1.0))
+        mode = self._training_mode()
+        residual_active = 0.0 if mode == "data_only" else 1.0
+        ic_bc_active = residual_active
+        if mode in ("inverse", "data_only", "data_augmented") and data_weight <= 0.0:
+            data_weight = 1.0
+
+        losses = {
+            "residual": residual_loss,
+            "boundary": boundary_loss,
+            "initial": initial_loss,
+            "smoothness": smoothness_loss,
+            "data": data_loss,
+        }
+
+        aw_enabled = bool(
+            self.training is not None
+            and getattr(self.training, "adaptive_weights", None) is not None
+            and self.training.adaptive_weights.enabled
+        )
+        if aw_enabled:
+            # Adaptive weighting is applied by the trainer; total is unweighted.
+            losses["total"] = (
+                residual_active * residual_loss
+                + ic_bc_active * boundary_loss
+                + ic_bc_active * initial_loss
+                + smoothness_weight * smoothness_loss
+                + data_weight * data_loss
+            )
+        else:
+            w_res = float(lw.get("pde", lw.get("residual", 1.0)))
+            w_bc = float(lw.get("boundary", 10.0))
+            w_ic = float(lw.get("initial", 10.0))
+            losses["total"] = (
+                residual_active * w_res * residual_loss
+                + ic_bc_active * w_bc * boundary_loss
+                + ic_bc_active * w_ic * initial_loss
+                + smoothness_weight * smoothness_loss
+                + data_weight * data_loss
+            )
+        return losses
+
+    # ------------------------------------------------------------------ #
+    # Validation
+    # ------------------------------------------------------------------ #
+
+    def validate(
+        self,
+        apply_fn: Callable,
+        params,
+        coeffs: Optional[Coeffs] = None,
+        key: Optional[jax.Array] = None,
+        num_points: int = 1000,
+    ) -> Dict[str, float]:
+        """Error metrics vs the exact solution (reference: pde_base.py:1288-1304).
+
+        NOTE: matching the reference, ``l2_error`` is mean SQUARED error.
+        ``rel_l2`` (true relative L2 norm) is added for the north-star metric.
+        """
+        key = key if key is not None else jax.random.PRNGKey(0)
+        x, t = sample_uniform(key, num_points, self.domain, self.time_domain)
+        u_exact = self.exact_solution(x, t, coeffs)
+        pred = apply_fn(params, jnp.concatenate([x, t], axis=-1)).reshape(x.shape[0], -1)[:, 0:1]
+        if u_exact is None:
+            return {"l2_error": float("nan"), "max_error": float("nan"), "mean_error": float("nan")}
+        u_exact = u_exact.reshape(pred.shape)
+        err = jnp.abs(pred - u_exact)
+        rel = jnp.sqrt(jnp.sum((pred - u_exact) ** 2)) / (jnp.sqrt(jnp.sum(u_exact**2)) + 1e-12)
+        return {
+            "l2_error": float(jnp.mean(err**2)),
+            "max_error": float(jnp.max(err)),
+            "mean_error": float(jnp.mean(err)),
+            "rel_l2": float(rel),
+        }

@@ -1,0 +1,68 @@
+"""Black-Scholes equation V_t + 0.5 sigma^2 S^2 V_SS + r S V_S - r V = 0
+(reference: pinnrl/pdes/black_scholes.py).
+
+NOTE: the reference's "closed form" uses torch.erf where the standard normal
+CDF Phi belongs (reference: black_scholes.py:108-114). We reproduce that
+behavior for parity (the survey's instruction: reproduce, fix at will); the
+textbook-correct variant is available via exact_solution(..., use_cdf=True).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.stats import norm
+
+from pinnrl_tpu.ops.derivatives import directional_derivative
+from pinnrl_tpu.pdes.base import Coeffs, PDEBase, PointFn, register_pde
+
+
+@register_pde
+class BlackScholesEquation(PDEBase):
+    pde_type = "black_scholes"
+    default_parameters = {"sigma": 0.2, "r": 0.05}
+    spatial_orders = (1, 2)
+    temporal_orders = (1,)
+
+    def _sigma(self, coeffs: Optional[Coeffs]):
+        return self.coeff(coeffs, "sigma", default=0.2)
+
+    def _r(self, coeffs: Optional[Coeffs]):
+        return self.coeff(coeffs, "r", default=0.05)
+
+    def residual_pointwise(self, u: PointFn, z: jax.Array, coeffs: Optional[Coeffs]):
+        V = u(z)
+        V_t = directional_derivative(u, z, self.dimension, 1)[0]
+        sigma, r = self._sigma(coeffs), self._r(coeffs)
+        res = V_t - r * V
+        for ax in range(self.dimension):
+            S = z[ax]
+            V_S, V_SS = directional_derivative(u, z, ax, 2)
+            res = res + 0.5 * sigma**2 * S**2 * V_SS + r * S * V_S
+        return res
+
+    def exact_solution(self, x, t, coeffs: Optional[Coeffs] = None, use_cdf: bool = False):
+        if not self.settings.exact_solution:
+            return None
+        spec = self.settings.exact_solution
+        K = float(spec.get("strike_price", spec.get("strike", 1.0)))
+        sigma, r = self._sigma(coeffs), self._r(coeffs)
+        cdf = norm.cdf if use_cdf else jax.scipy.special.erf
+
+        def one_dim(S):
+            S_safe = jnp.maximum(S, 1e-6)
+            t_safe = jnp.maximum(t, 1e-6)
+            d1 = (jnp.log(S_safe / K) + (r + 0.5 * sigma**2) * t_safe) / (
+                sigma * jnp.sqrt(t_safe)
+            )
+            d2 = d1 - sigma * jnp.sqrt(t_safe)
+            return S * cdf(d1) - K * jnp.exp(-r * t_safe) * cdf(d2)
+
+        if self.dimension == 1:
+            return one_dim(x[:, 0:1])
+        sol = jnp.ones_like(x[:, 0:1])
+        for dim in range(self.dimension):
+            sol = sol * one_dim(x[:, dim : dim + 1])
+        return sol

@@ -1,0 +1,63 @@
+"""Cahn-Hilliard equation u_t = lap(mu), mu = -eps^2 lap(u) + u^3 - u
+(reference: pinnrl/pdes/cahn_hilliard.py).
+
+4th-order in space via two nested Laplacians: the chemical potential is
+itself a point-wise function, and its Laplacian is taken with the same
+forward-mode engine — nested jvp-of-jvp compiles to one fused XLA program.
+The u**3 argument is clamped to +-10 for stability with untrained networks
+(reference: cahn_hilliard.py:112-114).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from pinnrl_tpu.ops.derivatives import directional_derivative, laplacian
+from pinnrl_tpu.pdes.base import Coeffs, PDEBase, PointFn, register_pde
+
+
+@register_pde
+class CahnHilliardEquation(PDEBase):
+    pde_type = "cahn_hilliard"
+    default_parameters = {"epsilon": 0.1, "mobility": 1.0, "kappa": 0.01}
+    spatial_orders = (2, 4)
+    temporal_orders = (1,)
+
+    def _eps(self, coeffs: Optional[Coeffs]):
+        return self.coeff(coeffs, "epsilon", default=0.1)
+
+    def residual_pointwise(self, u: PointFn, z: jax.Array, coeffs: Optional[Coeffs]):
+        u_t = directional_derivative(u, z, self.dimension, 1)[0]
+        eps = self._eps(coeffs)
+        axes = range(self.dimension)
+
+        def mu(zz: jax.Array) -> jax.Array:
+            val = u(zz)
+            val_c = jnp.clip(val, -10.0, 10.0)
+            return -(eps**2) * laplacian(u, zz, axes) + val_c**3 - val_c
+
+        lap_mu = laplacian(mu, z, axes)
+        return u_t - lap_mu
+
+    def exact_solution(self, x, t, coeffs: Optional[Coeffs] = None):
+        """tanh interface profile (reference: cahn_hilliard.py:162-178)."""
+        eps = self._eps(coeffs)
+        if self.dimension == 1:
+            return jnp.tanh(x[:, 0:1] / (2 * eps))
+        sol = jnp.ones_like(x[:, 0:1])
+        for dim in range(self.dimension):
+            sol = sol * jnp.tanh(x[:, dim : dim + 1] / (2 * eps))
+        return sol
+
+    def _create_initial_condition(self, params: Dict) -> Callable:
+        ic_type = params.get("type", "tanh")
+        if ic_type == "tanh":
+            if self.dimension == 1:
+                return lambda x, t: jnp.tanh(x[:, 0:1] / (2 * self._eps(None)))
+            return lambda x, t: jnp.tanh(
+                jnp.sum(x, axis=1, keepdims=True) / (2 * self._eps(None))
+            )
+        return super()._create_initial_condition(params)

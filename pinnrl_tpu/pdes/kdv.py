@@ -1,0 +1,57 @@
+"""KdV equation u_t + 6 u u_x + u_xxx = 0 (reference: pinnrl/pdes/kdv_equation.py).
+
+The 3rd-order spatial derivative uses the Taylor-mode/forward path in the
+derivative engine — one directional pass per axis.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from pinnrl_tpu.ops.derivatives import directional_derivative
+from pinnrl_tpu.pdes.base import Coeffs, PDEBase, PointFn, register_pde
+
+
+@register_pde
+class KdVEquation(PDEBase):
+    pde_type = "kdv"
+    default_parameters = {"speed": 1.0}
+    spatial_orders = (1, 3)
+    temporal_orders = (1,)
+
+    def _speed(self, coeffs: Optional[Coeffs]):
+        return self.coeff(coeffs, "speed", default=1.0)
+
+    def residual_pointwise(self, u: PointFn, z: jax.Array, coeffs: Optional[Coeffs]):
+        val = u(z)
+        u_t = directional_derivative(u, z, self.dimension, 1)[0]
+        res = u_t
+        for ax in range(self.dimension):
+            d = directional_derivative(u, z, ax, 3)
+            res = res + 6.0 * val * d[0] + d[2]
+        return res
+
+    def exact_solution(self, x, t, coeffs: Optional[Coeffs] = None):
+        """Soliton 2c sech^2(sqrt(c)(x - ct)) (reference: kdv_equation.py:94-112)."""
+        if not self.settings.exact_solution:
+            return None
+        c = self._speed(coeffs)
+        if self.dimension == 1:
+            arg = jnp.sqrt(c) * (x[:, 0:1] - c * t)
+        else:
+            arg = jnp.sqrt(c) * (jnp.sum(x, axis=1, keepdims=True) - c * t)
+        return 2 * c / jnp.cosh(arg) ** 2
+
+    def _create_initial_condition(self, params: Dict) -> Callable:
+        ic_type = params.get("type", "soliton")
+        if ic_type == "soliton":
+            c = float(params.get("speed", self.parameters.get("speed", 1.0)))
+            if self.dimension == 1:
+                return lambda x, t: 2 * c / jnp.cosh(jnp.sqrt(c) * x[:, 0:1]) ** 2
+            return lambda x, t: (
+                2 * c / jnp.cosh(jnp.sqrt(c) * jnp.sum(x, axis=1, keepdims=True)) ** 2
+            )
+        return super()._create_initial_condition(params)

@@ -1,0 +1,74 @@
+"""Pendulum ODE-as-PDE: theta_tt + (g/L) sin(theta) = 0
+(reference: pinnrl/pdes/pendulum_equation.py). Extras: total energy and
+phase-space trajectories (reference: pendulum_equation.py:158-212).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pinnrl_tpu.ops.derivatives import directional_derivative
+from pinnrl_tpu.pdes.base import Coeffs, PDEBase, PointFn, register_pde
+
+
+@register_pde
+class PendulumEquation(PDEBase):
+    pde_type = "pendulum"
+    default_parameters = {"g": 9.81, "L": 1.0}
+    spatial_orders = ()
+    temporal_orders = (1, 2)
+
+    def _g(self, coeffs: Optional[Coeffs]):
+        return self.coeff(coeffs, "g", default=9.81)
+
+    def _L(self, coeffs: Optional[Coeffs]):
+        return self.coeff(coeffs, "L", default=1.0)
+
+    def residual_pointwise(self, u: PointFn, z: jax.Array, coeffs: Optional[Coeffs]):
+        u_tt = directional_derivative(u, z, self.dimension, 2)[1]
+        return u_tt + (self._g(coeffs) / self._L(coeffs)) * jnp.sin(u(z))
+
+    def exact_solution(self, x, t, coeffs: Optional[Coeffs] = None):
+        if not self.settings.exact_solution:
+            return None
+        spec = self.settings.exact_solution
+        sol_type = spec.get("type", "small_angle")
+        if sol_type == "small_angle":
+            theta0 = float(spec.get("initial_angle", 0.1))
+            omega = jnp.sqrt(self._g(coeffs) / self._L(coeffs))
+            return theta0 * jnp.cos(omega * t) * jnp.ones_like(x[:, 0:1])
+        if sol_type == "sine":
+            A = float(spec.get("amplitude", 1.0))
+            f = float(spec.get("frequency", 1.0))
+            return A * jnp.sin(f * (x[:, 0:1] + t))
+        raise ValueError(f"Unknown exact solution type: {sol_type!r}")
+
+    def compute_energy(self, apply_fn, params, x, t, coeffs: Optional[Coeffs] = None):
+        """Kinetic + potential energy (reference: pendulum_equation.py:158-189)."""
+        u = self._scalar_u(apply_fn, params)
+        z = jnp.concatenate([x, t], axis=-1)
+        g, L = self._g(coeffs), self._L(coeffs)
+
+        def point_energy(zz):
+            theta = u(zz)
+            theta_t = directional_derivative(u, zz, self.dimension, 1)[0]
+            kinetic = 0.5 * L * L * theta_t**2
+            potential = g * L * (1 - jnp.cos(theta))
+            return kinetic + potential
+
+        return jax.vmap(point_energy)(z).reshape(-1, 1)
+
+    def compute_phase_space(
+        self, apply_fn, params, x, t, coeffs: Optional[Coeffs] = None
+    ) -> Tuple[jax.Array, jax.Array]:
+        """(theta, dtheta/dt) (reference: pendulum_equation.py:191-212)."""
+        u = self._scalar_u(apply_fn, params)
+        z = jnp.concatenate([x, t], axis=-1)
+        theta = jax.vmap(u)(z).reshape(-1, 1)
+        theta_t = jax.vmap(
+            lambda zz: directional_derivative(u, zz, self.dimension, 1)[0]
+        )(z).reshape(-1, 1)
+        return theta, theta_t

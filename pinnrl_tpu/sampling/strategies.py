@@ -1,0 +1,119 @@
+"""Collocation sampling strategies as pure, jittable functions of a PRNG key.
+
+TPU-native rework of the reference samplers (reference: pinnrl/pdes/
+pde_base.py:806-1084): fixed output shapes, no host round-trips —
+residual-adaptive refinement (RAR) and the RL-scored grid both stay on
+device via ``jax.random.categorical``.
+
+Every sampler returns ``(x, t)`` with ``x: (n, dim)`` and ``t: (n, 1)``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Domain = Sequence[Tuple[float, float]]
+
+
+def _bounds(domain: Domain, time_domain: Tuple[float, float]):
+    lo = jnp.array([d[0] for d in domain] + [time_domain[0]], jnp.float32)
+    hi = jnp.array([d[1] for d in domain] + [time_domain[1]], jnp.float32)
+    return lo, hi
+
+
+def sample_uniform(
+    key: jax.Array, n: int, domain: Domain, time_domain: Tuple[float, float]
+) -> Tuple[jax.Array, jax.Array]:
+    """IID uniform points over space x time (reference: pde_base.py:806-860;
+    the reference jitters a lattice — IID uniform is the unbiased TPU-native
+    equivalent with identical coverage in expectation)."""
+    lo, hi = _bounds(domain, time_domain)
+    z = jax.random.uniform(key, (n, lo.shape[0]), minval=lo, maxval=hi)
+    return z[:, :-1], z[:, -1:]
+
+
+def sample_stratified(
+    key: jax.Array, n: int, domain: Domain, time_domain: Tuple[float, float]
+) -> Tuple[jax.Array, jax.Array]:
+    """Latin-hypercube sampling: one point per equal-width bin per dimension,
+    bins independently shuffled per dim (reference: pde_base.py:862-893)."""
+    lo, hi = _bounds(domain, time_domain)
+    d = lo.shape[0]
+    keys = jax.random.split(key, 2 * d)
+    cols = []
+    for i in range(d):
+        jitter = jax.random.uniform(keys[2 * i], (n,))
+        centers = (jnp.arange(n) + jitter) / n
+        perm = jax.random.permutation(keys[2 * i + 1], n)
+        cols.append(lo[i] + (hi[i] - lo[i]) * centers[perm])
+    z = jnp.stack(cols, axis=-1)
+    return z[:, :-1], z[:, -1:]
+
+
+def sample_residual_based(
+    key: jax.Array,
+    n: int,
+    domain: Domain,
+    time_domain: Tuple[float, float],
+    residual_fn: Optional[Callable[[jax.Array, jax.Array], jax.Array]] = None,
+    pool_factor: int = 4,
+    eps: float = 1e-8,
+) -> Tuple[jax.Array, jax.Array]:
+    """Residual-Adaptive Refinement: draw a ``pool_factor * n`` uniform pool,
+    evaluate |residual|, resample n points with probability proportional to
+    residual magnitude (reference: pde_base.py:895-935). Falls back to
+    uniform when no residual function is supplied.
+    """
+    if residual_fn is None:
+        return sample_uniform(key, n, domain, time_domain)
+    k_pool, k_pick = jax.random.split(key)
+    x_pool, t_pool = sample_uniform(k_pool, pool_factor * n, domain, time_domain)
+    r = jnp.abs(residual_fn(x_pool, t_pool)).reshape(-1) + eps
+    idx = jax.random.categorical(k_pick, jnp.log(r), shape=(n,))
+    return x_pool[idx], t_pool[idx]
+
+
+def make_grid(
+    domain: Domain, time_domain: Tuple[float, float], points_per_axis: int = 100
+) -> jax.Array:
+    """Regular evaluation grid over (space, time), flattened to (G, dim+1).
+
+    Capped at 100 points per axis like the reference's adaptive sampler grid
+    (reference: pde_base.py:961-1076).
+    """
+    axes = [jnp.linspace(lo, hi, points_per_axis) for lo, hi in domain]
+    axes.append(jnp.linspace(time_domain[0], time_domain[1], points_per_axis))
+    mesh = jnp.meshgrid(*axes, indexing="ij")
+    return jnp.stack([m.reshape(-1) for m in mesh], axis=-1)
+
+
+def sample_adaptive(
+    key: jax.Array,
+    n: int,
+    domain: Domain,
+    time_domain: Tuple[float, float],
+    score_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+    points_per_axis: int = 100,
+) -> Tuple[jax.Array, jax.Array]:
+    """RL-agent-scored sampling: the DQN policy scores a regular grid;
+    |scores| are normalized into a categorical distribution, n cells are
+    drawn, and points are jittered within cells and clamped to the domain
+    (reference: pde_base.py:961-1076). Falls back to uniform with no agent.
+    """
+    if score_fn is None:
+        return sample_uniform(key, n, domain, time_domain)
+    grid = make_grid(domain, time_domain, points_per_axis)
+    scores = jnp.abs(score_fn(grid)).reshape(-1) + 1e-8
+    k_pick, k_jit = jax.random.split(key)
+    idx = jax.random.categorical(k_pick, jnp.log(scores), shape=(n,))
+    picked = grid[idx]
+    lo, hi = _bounds(domain, time_domain)
+    cell = (hi - lo) / (points_per_axis - 1)
+    jitter = jax.random.uniform(
+        k_jit, picked.shape, minval=-0.5, maxval=0.5
+    ) * cell
+    z = jnp.clip(picked + jitter, lo, hi)
+    return z[:, :-1], z[:, -1:]
