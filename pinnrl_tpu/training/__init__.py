@@ -1,0 +1,7 @@
+"""Training layer: trainer, adaptive weights, CLI."""
+
+from pinnrl_tpu.training.adaptive_weights import (  # noqa: F401
+    AdaptiveLossWeights,
+    AdaptiveWeightState,
+)
+from pinnrl_tpu.training.trainer import PDETrainer  # noqa: F401

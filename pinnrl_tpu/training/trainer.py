@@ -1,0 +1,576 @@
+"""PDETrainer: the fused TPU training loop.
+
+TPU-native redesign of the reference trainer (reference: pinnrl/training/
+trainer.py:27-1693). The reference runs a Python epoch loop where every step
+does host-side sampling, several autograd passes and an optimizer step; here
+**one epoch is a single XLA program**: a jitted ``jax.lax.scan`` over steps,
+each step fusing sample -> loss (residual/BC/IC/data) -> grad -> optax update
+-> (optionally) the DQN agent's replay push + TD update. The host touches the
+device once per epoch to fetch metrics and handles only I/O, validation
+cadence, early stopping, and the Adam->L-BFGS phase switch.
+
+Feature parity checklist (reference lines):
+- optimizers adam | lbfgs | adam_lbfgs with switch_ratio (trainer.py:281-389)
+- cosine / reduce-on-plateau schedules (trainer.py:311-332)
+- gradient clipping (trainer.py:690-693)
+- adaptive loss weights LRW/RBW (trainer.py:580-684) — LRW's per-component
+  gradient norms come from one jacrev, not N backward passes
+- validation + early stopping (trainer.py:140-162, 788-801)
+- inverse-mode coefficient tracking param_<name> (trainer.py:444-454)
+- experiment-dir file protocol: .running, metadata.json, history.json,
+  metrics.json, live_snapshot.npz, final model (trainer.py:474-963)
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from datetime import datetime
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pinnrl_tpu.config import Config
+from pinnrl_tpu.models import PINNModel
+from pinnrl_tpu.pdes.base import PDEBase
+from pinnrl_tpu.rl.dqn import RLAgent
+from pinnrl_tpu.training.adaptive_weights import AdaptiveLossWeights
+from pinnrl_tpu.utils.io import save_live_snapshot, save_training_metrics
+
+logger = logging.getLogger(__name__)
+
+
+class PDETrainer:
+    """Trains a PINN on a PDE problem with the full reference feature set."""
+
+    def __init__(
+        self,
+        model: PINNModel,
+        pde: PDEBase,
+        config: Config,
+        rl_agent: Optional[RLAgent] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ) -> None:
+        self.model = model
+        self.pde = pde
+        self.config = config
+        self.tcfg = config.training
+        self.rl_agent = rl_agent
+        self.mesh = mesh
+
+        # Strategy: attaching an agent forces adaptive sampling
+        # (reference: trainer.py:549-553).
+        self.strategy = (
+            "adaptive" if rl_agent is not None else self.tcfg.collocation_distribution
+        )
+
+        self.optimizer_name = self.tcfg.optimizer
+        self.switch_epoch = (
+            int(self.tcfg.adam_lbfgs_switch_ratio * self.tcfg.num_epochs)
+            if self.optimizer_name == "adam_lbfgs"
+            else None
+        )
+
+        # Adaptive weights (disabled under pure L-BFGS, reference: trainer.py:464-468).
+        aw_cfg = self.tcfg.adaptive_weights
+        self.aw_enabled = bool(aw_cfg.enabled and self.optimizer_name != "lbfgs")
+        self.adaptive_weights = AdaptiveLossWeights(
+            strategy=aw_cfg.strategy,
+            alpha=aw_cfg.alpha,
+            eps=float(aw_cfg.eps),
+            initial_weights=list(aw_cfg.initial_weights)[:3]
+            if aw_cfg.initial_weights
+            else None,
+            num_components=3,
+        )
+
+        self.history: Dict[str, list] = {
+            "train_loss": [],
+            "val_loss": [],
+            "learning_rate": [],
+            "epoch_time": [],
+            "loss_components": {
+                k: [] for k in ("residual", "boundary", "initial", "smoothness", "data")
+            },
+            "adaptive_weights": [],
+        }
+        for name in self.pde.trainable_parameters:
+            self.history[f"param_{name}"] = []
+
+        self._compiled = {}
+
+    # ------------------------------------------------------------------ #
+    # Optimizer construction
+    # ------------------------------------------------------------------ #
+
+    def _make_lr_schedule(self, num_epochs: int, steps_per_epoch: int):
+        oc = self.tcfg.optimizer_config
+        sched = self.tcfg.lr_scheduler
+        if self.tcfg.scheduler_type == "cosine":
+            return optax.cosine_decay_schedule(
+                init_value=oc.learning_rate,
+                decay_steps=max(num_epochs * steps_per_epoch, 1),
+                alpha=sched.eta_min / max(oc.learning_rate, 1e-12),
+            )
+        return oc.learning_rate  # constant; plateau handled via transform
+
+    def _make_adam(self, num_epochs: int, steps_per_epoch: int):
+        oc = self.tcfg.optimizer_config
+        lr = self._make_lr_schedule(num_epochs, steps_per_epoch)
+        chain = [optax.clip_by_global_norm(self.tcfg.gradient_clip_norm)]
+        if oc.weight_decay and oc.weight_decay > 0:
+            chain.append(
+                optax.adamw(lr, b1=oc.beta1, b2=oc.beta2, weight_decay=oc.weight_decay)
+            )
+        else:
+            chain.append(optax.adam(lr, b1=oc.beta1, b2=oc.beta2))
+        if self.tcfg.scheduler_type == "reduce_lr":
+            sched = self.tcfg.lr_scheduler
+            chain.append(
+                optax.contrib.reduce_on_plateau(
+                    factor=sched.factor,
+                    patience=sched.patience,
+                    accumulation_size=1,
+                )
+            )
+        return optax.chain(*chain)
+
+    def _make_lbfgs(self):
+        lb = self.tcfg.lbfgs
+        return optax.lbfgs(
+            memory_size=lb.history_size,
+            linesearch=optax.scale_by_zoom_linesearch(
+                max_linesearch_steps=25, verbose=False
+            ),
+        )
+
+    # ------------------------------------------------------------------ #
+    # Loss plumbing
+    # ------------------------------------------------------------------ #
+
+    def _loss_components(self, params: Dict, x, t, key):
+        """params = {"net": ..., "coeffs": {...}} -> component dict."""
+        return self.pde.compute_loss(
+            self.model.apply, params["net"], x, t, coeffs=params["coeffs"], key=key
+        )
+
+    def _weighted_total(self, losses: Dict, weights: jnp.ndarray):
+        """Adaptive-weight total: w . [residual, boundary, initial] plus the
+        statically-weighted smoothness/data terms (reference: trainer.py:631-644)."""
+        lw = self.pde._loss_weights()
+        smooth_w = float(lw.get("smoothness", 0.0))
+        data_w = float(lw.get("data", 1.0))
+        mode = self.pde._training_mode()
+        physics = 0.0 if mode == "data_only" else 1.0
+        if mode in ("inverse", "data_only", "data_augmented") and data_w <= 0.0:
+            data_w = 1.0
+        return (
+            physics * weights[0] * losses["residual"]
+            + physics * weights[1] * losses["boundary"]
+            + physics * weights[2] * losses["initial"]
+            + smooth_w * losses["smoothness"]
+            + data_w * losses["data"]
+        )
+
+    # ------------------------------------------------------------------ #
+    # Step builders
+    # ------------------------------------------------------------------ #
+
+    def _sample(self, key, n, params, rl_state):
+        strategy = self.strategy
+        if strategy == "residual_based":
+            residual_fn = lambda xx, tt: self.pde.compute_residual(
+                self.model.apply, params["net"], xx, tt, params["coeffs"]
+            )
+            return self.pde.generate_collocation_points(
+                key, n, "residual_based", residual_fn=residual_fn
+            )
+        if strategy == "adaptive" and self.rl_agent is not None:
+            k_score, k_samp = jax.random.split(key)
+            score_fn = lambda grid: self.rl_agent.select_action(rl_state, grid, k_score)
+            return self.pde.generate_collocation_points(
+                k_samp, n, "adaptive", score_fn=score_fn
+            )
+        return self.pde.generate_collocation_points(key, n, strategy)
+
+    def _build_epoch_fn(self, optimizer, batch_size: int, steps_per_epoch: int, lbfgs: bool):
+        """One jitted epoch: lax.scan over fused train steps."""
+        agent = self.rl_agent
+        aw_on = self.aw_enabled
+        lrw = aw_on and self.adaptive_weights.strategy == "lrw"
+        n_push = min(128, batch_size)  # per-step transitions pushed into the DQN buffer
+
+        def loss_total(params, x, t, key):
+            losses = self._loss_components(params, x, t, key)
+            return losses["total"], losses
+
+        def step(carry, _):
+            state = carry
+            key, k_samp, k_loss, k_rl = jax.random.split(state["key"], 4)
+            x, t = self._sample(k_samp, batch_size, state["params"], state["rl"])
+
+            # --- gradient computation ---
+            if not aw_on:
+                if lbfgs:
+                    (total, losses), grads = jax.value_and_grad(
+                        lambda p: loss_total(p, x, t, k_loss), has_aux=True
+                    )(state["params"])
+                    updates, opt_state = optimizer.update(
+                        grads,
+                        state["opt_state"],
+                        state["params"],
+                        value=total,
+                        grad=grads,
+                        value_fn=lambda p: loss_total(p, x, t, k_loss)[0],
+                    )
+                else:
+                    (total, losses), grads = jax.value_and_grad(
+                        lambda p: loss_total(p, x, t, k_loss), has_aux=True
+                    )(state["params"])
+                    try:
+                        updates, opt_state = optimizer.update(
+                            grads, state["opt_state"], state["params"], value=total
+                        )
+                    except TypeError:
+                        updates, opt_state = optimizer.update(
+                            grads, state["opt_state"], state["params"]
+                        )
+                params = optax.apply_updates(state["params"], updates)
+                aw_state = state["aw"]
+                weights = self.adaptive_weights.get_weights(aw_state)
+            else:
+                def stacked_fn(p):
+                    losses = self._loss_components(p, x, t, k_loss)
+                    return jnp.stack(
+                        [losses["residual"], losses["boundary"], losses["initial"]]
+                    ), losses
+
+                comp_vals, losses = stacked_fn(state["params"])
+                if lrw:
+                    # One jacrev sweep -> per-component grads -> global norms
+                    # (reference does N separate backward passes, trainer.py:607-626).
+                    jac = jax.jacrev(lambda p: stacked_fn(p)[0])(state["params"])
+                    norms = jnp.sqrt(
+                        sum(
+                            jnp.sum(leaf.reshape(3, -1) ** 2, axis=1)
+                            for leaf in jax.tree_util.tree_leaves(jac)
+                        )
+                    )
+                    aw_state = self.adaptive_weights.update(state["aw"], norms)
+                else:
+                    aw_state = self.adaptive_weights.update(state["aw"], comp_vals)
+                weights = jax.lax.stop_gradient(
+                    self.adaptive_weights.get_weights(aw_state)
+                )
+                total, grads = jax.value_and_grad(
+                    lambda p: self._weighted_total(
+                        self._loss_components(p, x, t, k_loss), weights
+                    )
+                )(state["params"])
+                try:
+                    updates, opt_state = optimizer.update(
+                        grads, state["opt_state"], state["params"], value=total
+                    )
+                except TypeError:
+                    updates, opt_state = optimizer.update(
+                        grads, state["opt_state"], state["params"]
+                    )
+                params = optax.apply_updates(state["params"], updates)
+
+            # --- RL agent update: per-point |residual| reward so the DQN
+            # learns the residual landscape it should concentrate on ---
+            rl_state = state["rl"]
+            if agent is not None:
+                pts = jnp.concatenate([x[:n_push], t[:n_push]], axis=-1)
+                res = self.pde.compute_residual(
+                    self.model.apply, params["net"], x[:n_push], t[:n_push], params["coeffs"]
+                ).reshape(-1)
+                reward = jnp.abs(res)
+                rl_state = agent.update(
+                    rl_state, state["prev_pts"], reward, pts, jnp.zeros(()), k_rl
+                )
+                prev_pts = pts
+            else:
+                prev_pts = state["prev_pts"]
+
+            metrics = {
+                "total": total,
+                "residual": losses["residual"],
+                "boundary": losses["boundary"],
+                "initial": losses["initial"],
+                "smoothness": losses["smoothness"],
+                "data": losses["data"],
+                "weights": weights,
+            }
+            new_state = {
+                "params": params,
+                "opt_state": opt_state,
+                "aw": aw_state,
+                "rl": rl_state,
+                "key": key,
+                "prev_pts": prev_pts,
+            }
+            return new_state, metrics
+
+        def epoch_fn(state):
+            state, metrics = jax.lax.scan(step, state, None, length=steps_per_epoch)
+            return state, jax.tree_util.tree_map(lambda m: jnp.mean(m, axis=0), metrics)
+
+        return jax.jit(epoch_fn, donate_argnums=0)
+
+    # ------------------------------------------------------------------ #
+    # Validation
+    # ------------------------------------------------------------------ #
+
+    def _build_val_fn(self, num_points: int = 1000):
+        def val_fn(params, key):
+            x, t = self.pde.generate_collocation_points(key, num_points, "uniform")
+            losses = self._loss_components(params, x, t, key)
+            return losses["total"]
+
+        return jax.jit(val_fn)
+
+    # ------------------------------------------------------------------ #
+    # Train driver
+    # ------------------------------------------------------------------ #
+
+    def train(
+        self,
+        num_epochs: Optional[int] = None,
+        batch_size: Optional[int] = None,
+        num_points: Optional[int] = None,
+        experiment_dir: Optional[str] = None,
+        seed: int = 0,
+    ) -> Dict[str, Any]:
+        t = self.tcfg
+        num_epochs = num_epochs or t.num_epochs
+        batch_size = batch_size or t.batch_size
+        num_points = num_points or t.num_collocation_points
+        if self.optimizer_name == "lbfgs":
+            batch_size = num_points  # full batch (reference: trainer.py:456-462)
+        batch_size = min(batch_size, num_points)
+        steps_per_epoch = max(num_points // batch_size, 1)
+
+        exp = Path(experiment_dir) if experiment_dir else None
+        if exp:
+            exp.mkdir(parents=True, exist_ok=True)
+            (exp / "visualizations").mkdir(exist_ok=True)
+            (exp / ".running").touch()
+            self._write_metadata(exp, status="running", num_epochs=num_epochs)
+            fh = logging.FileHandler(exp / "experiment.log")
+            logger.addHandler(fh)
+
+        key = jax.random.PRNGKey(seed)
+        key, k_rl = jax.random.split(key)
+
+        params = {"net": self.model.params, "coeffs": self.pde.init_coeffs()}
+        rl_state = self.rl_agent.init(k_rl) if self.rl_agent is not None else ()
+
+        adam_opt = self._make_adam(num_epochs, steps_per_epoch)
+        lbfgs_opt = self._make_lbfgs() if self.optimizer_name in ("lbfgs", "adam_lbfgs") else None
+
+        if self.optimizer_name == "lbfgs":
+            optimizer, lbfgs_mode = lbfgs_opt, True
+        else:
+            optimizer, lbfgs_mode = adam_opt, False
+
+        state = {
+            "params": params,
+            "opt_state": optimizer.init(params),
+            "aw": self.adaptive_weights.init(),
+            "rl": rl_state,
+            "key": key,
+            "prev_pts": jnp.zeros(
+                (min(128, batch_size), self.pde.dimension + 1)
+            ),
+        }
+        # Break any buffer aliasing (e.g. L-BFGS init referencing param
+        # buffers) so the epoch function can donate its input state.
+        state = jax.tree_util.tree_map(jnp.array, state)
+        epoch_fn = self._build_epoch_fn(optimizer, batch_size, steps_per_epoch, lbfgs_mode)
+        val_fn = self._build_val_fn(self.config.evaluation.num_points)
+
+        es = t.early_stopping
+        best_val = float("inf")
+        patience_count = 0
+        val_key = jax.random.PRNGKey(10_000 + seed)
+        start_time = time.time()
+        status = "completed"
+        oc_lr = t.optimizer_config.learning_rate
+
+        try:
+            for epoch in range(num_epochs):
+                # Two-phase Adam -> L-BFGS switch (reference: trainer.py:357-361,849-859).
+                if (
+                    self.switch_epoch is not None
+                    and epoch == self.switch_epoch
+                    and not lbfgs_mode
+                ):
+                    logger.info("Switching optimizer: adam -> lbfgs at epoch %d", epoch)
+                    optimizer, lbfgs_mode = lbfgs_opt, True
+                    batch_size_lb = num_points
+                    steps_lb = 1
+                    state = {
+                        **state,
+                        "opt_state": jax.tree_util.tree_map(
+                            jnp.array, optimizer.init(state["params"])
+                        ),
+                    }
+                    epoch_fn = self._build_epoch_fn(optimizer, batch_size_lb, steps_lb, True)
+
+                t0 = time.time()
+                state, metrics = epoch_fn(state)
+                train_loss = float(metrics["total"])
+                epoch_time = time.time() - t0
+
+                self.history["train_loss"].append(train_loss)
+                self.history["epoch_time"].append(epoch_time)
+                for k in ("residual", "boundary", "initial", "smoothness", "data"):
+                    self.history["loss_components"][k].append(float(metrics[k]))
+                w = np.asarray(metrics["weights"]).tolist()
+                self.history["adaptive_weights"].append((w + [0.0] * 4)[:4])
+                # Current LR (cosine schedule value or plateau-scaled base LR).
+                if t.scheduler_type == "cosine":
+                    sched = self._make_lr_schedule(num_epochs, steps_per_epoch)
+                    lr_now = float(sched((epoch + 1) * steps_per_epoch))
+                else:
+                    lr_now = float(oc_lr * _plateau_scale(state["opt_state"]))
+                self.history["learning_rate"].append(lr_now)
+                for name in self.pde.trainable_parameters:
+                    self.history[f"param_{name}"].append(
+                        float(state["params"]["coeffs"][name])
+                    )
+
+                if not np.isfinite(train_loss):
+                    logger.warning("Non-finite loss at epoch %d; stopping", epoch)
+                    status = "failed"
+                    break
+
+                if (epoch + 1) % t.validation_frequency == 0 or epoch == num_epochs - 1:
+                    val_key, k = jax.random.split(val_key)
+                    val_loss = float(val_fn(state["params"], k))
+                    self.history["val_loss"].append(val_loss)
+                    logger.info(
+                        "epoch %d/%d train=%.4e val=%.4e lr=%.2e (%.2fs)",
+                        epoch + 1, num_epochs, train_loss, val_loss, lr_now, epoch_time,
+                    )
+                    if exp:
+                        save_training_metrics(exp, self.history)
+                        self._write_metadata(
+                            exp, status="running", num_epochs=num_epochs,
+                            current_epoch=epoch + 1, coeffs=state["params"]["coeffs"],
+                        )
+                        save_live_snapshot(
+                            exp, self.pde, self.model, state["params"], grid=60
+                        )
+                    # Early stopping (reference: trainer.py:788-801).
+                    if es.enabled:
+                        if val_loss < best_val - es.min_delta:
+                            best_val = val_loss
+                            patience_count = 0
+                        else:
+                            patience_count += 1
+                            if patience_count >= es.patience:
+                                logger.info("Early stopping at epoch %d", epoch + 1)
+                                break
+        except Exception:
+            status = "failed"
+            if exp:
+                (exp / ".running").unlink(missing_ok=True)
+            raise
+
+        wall = time.time() - start_time
+        self.model.params = state["params"]["net"]
+        self.final_coeffs = {
+            k: float(v) for k, v in state["params"]["coeffs"].items()
+        }
+        result = {
+            "history": self.history,
+            "final_train_loss": self.history["train_loss"][-1]
+            if self.history["train_loss"]
+            else None,
+            "best_val_loss": best_val if best_val < float("inf") else None,
+            "identified_parameters": self.final_coeffs,
+            "true_parameters": self.pde.true_parameters,
+            "wall_time_s": wall,
+            "status": status,
+        }
+        if exp:
+            save_training_metrics(exp, self.history)
+            self._write_metadata(
+                exp,
+                status=status,
+                num_epochs=num_epochs,
+                current_epoch=len(self.history["train_loss"]),
+                coeffs=state["params"]["coeffs"],
+                wall_time_s=wall,
+            )
+            self.model.save_state(str(exp / "final_model.msgpack"))
+            if self.rl_agent is not None:
+                self.rl_agent.save_state(str(exp / "rl_agent.msgpack"), state["rl"])
+            (exp / ".running").unlink(missing_ok=True)
+        self._final_state = state
+        return result
+
+    # ------------------------------------------------------------------ #
+    # Experiment metadata
+    # ------------------------------------------------------------------ #
+
+    def _write_metadata(
+        self,
+        exp: Path,
+        status: str,
+        num_epochs: int,
+        current_epoch: int = 0,
+        coeffs=None,
+        wall_time_s: Optional[float] = None,
+    ) -> None:
+        """metadata.json contract (reference: trainer.py:489-527, 861-963)."""
+        meta_path = exp / "metadata.json"
+        meta = {}
+        if meta_path.exists():
+            try:
+                meta = json.loads(meta_path.read_text())
+            except Exception:
+                meta = {}
+        meta.update(
+            {
+                "status": status,
+                "pde_type": self.pde.pde_type,
+                "architecture": self.model.architecture_name,
+                "mode": self.tcfg.mode,
+                "optimizer": self.optimizer_name,
+                "rl_enabled": self.rl_agent is not None,
+                "sampling_strategy": self.strategy,
+                "num_epochs": num_epochs,
+                "current_epoch": current_epoch,
+                "parameters": {
+                    k: (list(v) if isinstance(v, (list, tuple)) else float(v))
+                    for k, v in self.pde.parameters.items()
+                },
+                "trainable_parameters": self.pde.trainable_parameters,
+                "true_parameters": self.pde.true_parameters,
+                "timestamp": datetime.now().isoformat(),
+                "num_model_parameters": self.model.count_parameters(),
+            }
+        )
+        if coeffs:
+            meta["identified_parameters"] = {k: float(v) for k, v in coeffs.items()}
+        if wall_time_s is not None:
+            meta["wall_time_s"] = wall_time_s
+        meta_path.write_text(json.dumps(meta, indent=2, default=str))
+
+
+def _plateau_scale(opt_state) -> float:
+    """Extract the reduce_on_plateau scale from a chained optax state."""
+    for s in jax.tree_util.tree_leaves(
+        opt_state, is_leaf=lambda x: hasattr(x, "scale")
+    ):
+        if hasattr(s, "scale"):
+            return float(s.scale)
+    return 1.0

@@ -1,0 +1,79 @@
+"""Model zoo tests (analog of reference tests/unit_tests/test_neural_networks.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pinnrl_tpu.models import PINNModel
+from tests.test_utils import tiny_config
+
+ARCHS = ["feedforward", "resnet", "siren", "fourier", "fno", "attention", "autoencoder"]
+
+
+@pytest.mark.parametrize("arch", ARCHS)
+def test_forward_shape_and_finite(arch):
+    cfg = tiny_config(architecture=arch)
+    model = PINNModel(cfg)
+    x = jnp.ones((5, cfg.model.input_dim))
+    y = model(x)
+    assert y.shape == (5, cfg.model.output_dim)
+    assert bool(jnp.all(jnp.isfinite(y)))
+
+
+@pytest.mark.parametrize("arch", ARCHS)
+def test_pointwise_apply(arch):
+    """Models must work on a single coordinate vector (needed by the
+    point-wise derivative engine)."""
+    cfg = tiny_config(architecture=arch)
+    model = PINNModel(cfg)
+    z = jnp.ones((cfg.model.input_dim,))
+    y = model.apply(model.params, z)
+    assert y.shape == (cfg.model.output_dim,)
+
+
+def test_param_count_positive():
+    cfg = tiny_config(architecture="feedforward")
+    model = PINNModel(cfg)
+    assert model.count_parameters() > 0
+
+
+def test_save_load_roundtrip(tmp_path):
+    cfg = tiny_config(architecture="fourier")
+    model = PINNModel(cfg, seed=1)
+    x = jnp.ones((3, 2))
+    y0 = model(x)
+    path = tmp_path / "model.msgpack"
+    model.save_state(str(path))
+    model2 = PINNModel(cfg, seed=2)
+    assert not np.allclose(model2(x), y0)
+    model2.load_state(str(path))
+    np.testing.assert_allclose(model2(x), y0, rtol=1e-6)
+
+
+def test_different_seeds_differ():
+    cfg = tiny_config(architecture="feedforward")
+    m1, m2 = PINNModel(cfg, seed=0), PINNModel(cfg, seed=1)
+    x = jnp.ones((3, 2))
+    assert not np.allclose(m1(x), m2(x))
+
+
+def test_autoencoder_encode_decode():
+    cfg = tiny_config(architecture="autoencoder")
+    model = PINNModel(cfg)
+    x = jnp.ones((4, 2))
+    variables = {"params": model.params, **model.constants}
+    z = model.module.apply(variables, x, method="encode")
+    assert z.shape == (4, cfg.model.arch_params["latent_dim"])
+    y = model.module.apply(variables, z, method="decode")
+    assert y.shape == (4, cfg.model.output_dim)
+
+
+def test_fourier_constants_not_trainable():
+    cfg = tiny_config(architecture="fourier")
+    model = PINNModel(cfg)
+    assert "constants" in model.constants
+    # B matrix must not be part of the optimized params pytree.
+    leaves = jax.tree_util.tree_leaves(model.params)
+    b = model.constants["constants"]["FourierFeatures_0"]["B"]
+    assert all(leaf.shape != b.shape or leaf is not b for leaf in leaves)

@@ -1,0 +1,87 @@
+"""Sampler property tests (analog of reference tests/unit_tests/test_pde_sampling.py
+and test_rar_sampling.py): bounds, shapes, coverage, RAR concentration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pinnrl_tpu.sampling import (
+    sample_adaptive,
+    sample_residual_based,
+    sample_stratified,
+    sample_uniform,
+)
+
+DOMAIN = [(-1.0, 1.0)]
+TIME = (0.0, 2.0)
+
+
+def _check_bounds(x, t, domain=DOMAIN, time=TIME):
+    for d, (lo, hi) in enumerate(domain):
+        assert float(x[:, d].min()) >= lo and float(x[:, d].max()) <= hi
+    assert float(t.min()) >= time[0] and float(t.max()) <= time[1]
+
+
+@pytest.mark.parametrize("n", [16, 100])
+def test_uniform_shape_bounds(n):
+    x, t = sample_uniform(jax.random.PRNGKey(0), n, DOMAIN, TIME)
+    assert x.shape == (n, 1) and t.shape == (n, 1)
+    _check_bounds(x, t)
+
+
+def test_stratified_coverage():
+    n = 64
+    x, t = sample_stratified(jax.random.PRNGKey(0), n, DOMAIN, TIME)
+    _check_bounds(x, t)
+    # Latin hypercube: exactly one point per bin per dimension.
+    bins = np.floor((np.asarray(x).ravel() + 1.0) / 2.0 * n).astype(int)
+    bins = np.clip(bins, 0, n - 1)
+    assert len(set(bins.tolist())) == n
+
+
+def test_rar_concentrates_on_high_residual():
+    # Residual is large only for x > 0.5: samples should concentrate there.
+    def residual_fn(x, t):
+        return jnp.where(x > 0.5, 100.0, 0.001)
+
+    x, t = sample_residual_based(
+        jax.random.PRNGKey(0), 256, DOMAIN, TIME, residual_fn=residual_fn
+    )
+    frac_high = float(jnp.mean(x > 0.5))
+    assert frac_high > 0.9
+    _check_bounds(x, t)
+
+
+def test_rar_uniform_fallback():
+    x, t = sample_residual_based(jax.random.PRNGKey(0), 64, DOMAIN, TIME, residual_fn=None)
+    assert x.shape == (64, 1)
+    _check_bounds(x, t)
+
+
+def test_adaptive_with_mock_agent():
+    # Mock score: high in the t < 0.5 strip.
+    def score_fn(grid):
+        return jnp.where(grid[:, -1] < 0.5, 10.0, 0.01)
+
+    x, t = sample_adaptive(jax.random.PRNGKey(0), 256, DOMAIN, TIME, score_fn=score_fn)
+    assert float(jnp.mean(t < 0.6)) > 0.8
+    _check_bounds(x, t)
+
+
+def test_adaptive_uniform_fallback():
+    x, t = sample_adaptive(jax.random.PRNGKey(0), 32, DOMAIN, TIME, score_fn=None)
+    assert x.shape == (32, 1)
+
+
+def test_samplers_jittable():
+    f = jax.jit(lambda k: sample_stratified(k, 32, DOMAIN, TIME))
+    x, t = f(jax.random.PRNGKey(1))
+    assert x.shape == (32, 1)
+
+
+def test_2d_domain():
+    dom2 = [(0.0, 1.0), (2.0, 3.0)]
+    x, t = sample_uniform(jax.random.PRNGKey(0), 50, dom2, TIME)
+    assert x.shape == (50, 2)
+    _check_bounds(x, t, dom2)
