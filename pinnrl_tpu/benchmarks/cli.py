@@ -1,0 +1,97 @@
+"""Benchmark CLI — ``pinnrl-benchmark fdm|sampling``
+(reference: pinnrl/benchmarks/cli.py:31-183)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+
+def _print_table(rows, headers):
+    widths = [max(len(str(h)), *(len(str(r[i])) for r in rows)) for i, h in enumerate(headers)]
+    fmt = "  ".join(f"{{:<{w}}}" for w in widths)
+    print(fmt.format(*headers))
+    print(fmt.format(*["-" * w for w in widths]))
+    for r in rows:
+        print(fmt.format(*[str(c) for c in r]))
+
+
+def _fdm_command(args) -> int:
+    from pinnrl_tpu.benchmarks.fdm import solve_heat_1d, solve_wave_1d
+
+    rows = []
+    if args.pde in ("heat", "all"):
+        r = solve_heat_1d(nx=args.nx or 51, nt=args.nt or 2001, t_max=args.t_max)
+        rows.append(("heat", r.scheme, f"{r.stability:.4f}", f"{r.l2_error:.3e}"))
+    if args.pde in ("wave", "all"):
+        r = solve_wave_1d(nx=args.nx or 101, nt=args.nt or 2001, t_max=args.t_max)
+        rows.append(("wave", r.scheme, f"{r.stability:.4f}", f"{r.l2_error:.3e}"))
+    _print_table(rows, ["pde", "scheme", "stability", "l2_error"])
+    if args.csv:
+        Path(args.csv).write_text(
+            "pde,scheme,stability,l2_error\n"
+            + "\n".join(",".join(map(str, r)) for r in rows)
+            + "\n"
+        )
+        print(f"CSV written to {args.csv}")
+    return 0
+
+
+def _sampling_command(args) -> int:
+    from pinnrl_tpu.benchmarks.sampling import results_to_csv, run_sampling_benchmark
+
+    results = run_sampling_benchmark(
+        pde=args.pde,
+        strategies=args.strategies.split(",") if args.strategies else None,
+        epochs=args.epochs,
+        batch=args.batch,
+        lr=args.lr,
+        seed=args.seed,
+    )
+    rows = [
+        (
+            r.pde, r.strategy, f"{r.final_loss:.3e}", f"{r.l2_error:.3e}",
+            f"{r.rel_l2:.3e}", f"{r.wall_time_s:.2f}", f"{r.points_per_sec:.0f}",
+        )
+        for r in results
+    ]
+    _print_table(
+        rows,
+        ["pde", "strategy", "final_loss", "l2_error", "rel_l2", "wall_s", "pts/sec"],
+    )
+    if args.csv:
+        Path(args.csv).write_text(results_to_csv(results))
+        print(f"CSV written to {args.csv}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="pinnrl-benchmark", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_fdm = sub.add_parser("fdm", help="Finite-difference baseline solves")
+    p_fdm.add_argument("--pde", choices=["heat", "wave", "all"], default="all")
+    p_fdm.add_argument("--nx", type=int, default=None)
+    p_fdm.add_argument("--nt", type=int, default=None)
+    p_fdm.add_argument("--t-max", type=float, default=0.5)
+    p_fdm.add_argument("--csv", default=None)
+    p_fdm.set_defaults(func=_fdm_command)
+
+    p_s = sub.add_parser("sampling", help="Collocation-strategy comparison")
+    p_s.add_argument("--pde", choices=["heat", "wave", "burgers", "kdv"], default="heat")
+    p_s.add_argument("--strategies", default=None,
+                     help="Comma list of uniform,stratified,residual_based,adaptive")
+    p_s.add_argument("--epochs", type=int, default=200)
+    p_s.add_argument("--batch", type=int, default=1024)
+    p_s.add_argument("--lr", type=float, default=2e-3)
+    p_s.add_argument("--seed", type=int, default=0)
+    p_s.add_argument("--csv", default=None)
+    p_s.set_defaults(func=_sampling_command)
+
+    args = parser.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

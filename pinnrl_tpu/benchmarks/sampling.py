@@ -1,0 +1,180 @@
+"""Sampling-strategy benchmark harness (reference: pinnrl/benchmarks/sampling.py).
+
+Compares collocation strategies (uniform / stratified / residual_based /
+adaptive) on a fixed PDE with a fresh Fourier MLP per strategy (so the RL
+agent cannot bleed state across strategies — reference: sampling.py:256-259),
+a lightweight jitted train loop without trainer side effects
+(reference: sampling.py:164-216), and a fixed validation grid for a fair L2
+comparison (reference: sampling.py:141-161). Adds collocation-points/sec —
+the BASELINE.json headline metric.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pinnrl_tpu.config import load_config
+from pinnrl_tpu.models import PINNModel
+from pinnrl_tpu.pdes import create_pde
+from pinnrl_tpu.rl import RLAgent
+
+STRATEGIES = ("uniform", "stratified", "residual_based", "adaptive")
+PDE_CHOICES = ("heat", "wave", "burgers", "kdv")
+
+
+@dataclass
+class SamplingResult:
+    """One benchmark row (reference: sampling.py:42-64)."""
+
+    pde: str
+    strategy: str
+    final_loss: float
+    l2_error: float
+    rel_l2: float
+    wall_time_s: float
+    points_per_sec: float
+    epochs: int
+    seed: int
+
+
+def _fixed_validation_grid(pde, n_side: int = 64):
+    xs = jnp.linspace(pde.domain[0][0], pde.domain[0][1], n_side)
+    ts = jnp.linspace(pde.time_domain[0], pde.time_domain[1], n_side)
+    X, T = jnp.meshgrid(xs, ts, indexing="ij")
+    return X.reshape(-1, 1), T.reshape(-1, 1)
+
+
+def _evaluate(pde, model, params, x_grid, t_grid) -> Dict[str, float]:
+    u = model.apply(params, jnp.concatenate([x_grid, t_grid], axis=-1))
+    u = u.reshape(x_grid.shape[0], -1)[:, 0:1]
+    exact = pde.exact_solution(x_grid, t_grid)
+    if exact is None:
+        return {"l2": float("nan"), "rel_l2": float("nan")}
+    exact = exact.reshape(u.shape)
+    err = u - exact
+    l2 = float(jnp.sqrt(jnp.mean(err**2)))
+    rel = float(jnp.sqrt(jnp.sum(err**2)) / (jnp.sqrt(jnp.sum(exact**2)) + 1e-12))
+    return {"l2": l2, "rel_l2": rel}
+
+
+def _build_benchmark_model(pde_key: str, seed: int):
+    """Fresh Fourier MLP 64x3 with mapping size 32 (reference: sampling.py:105-119)."""
+    cfg = load_config(pde_type=pde_key, architecture="fourier")
+    cfg.model.hidden_dims = [64, 64, 64]
+    cfg.model.arch_params["mapping_size"] = 32
+    cfg.model.arch_params["scale"] = 2.0
+    return cfg, PINNModel(cfg, seed=seed)
+
+
+def _train_one(
+    pde_key: str,
+    strategy: str,
+    epochs: int,
+    batch: int,
+    lr: float,
+    seed: int,
+) -> SamplingResult:
+    cfg, model = _build_benchmark_model(pde_key, seed)
+    cfg.training.collocation_distribution = strategy
+    pde = create_pde(cfg)  # fresh PDE per strategy
+
+    agent = None
+    rl_state = ()
+    if strategy == "adaptive":
+        agent = RLAgent(
+            state_dim=cfg.model.input_dim, hidden_dim=64, memory_size=4096, batch_size=64
+        )
+        rl_state = agent.init(jax.random.PRNGKey(seed + 1))
+
+    opt = optax.adam(lr)
+    params = model.params
+    opt_state = opt.init(params)
+
+    def sample(key, p, rl_st):
+        if strategy == "residual_based":
+            rfn = lambda xx, tt: pde.compute_residual(model.apply, p, xx, tt)
+            return pde.generate_collocation_points(key, batch, strategy, residual_fn=rfn)
+        if strategy == "adaptive":
+            k1, k2 = jax.random.split(key)
+            sfn = lambda grid: agent.select_action(rl_st, grid, k1)
+            return pde.generate_collocation_points(k2, batch, strategy, score_fn=sfn)
+        return pde.generate_collocation_points(key, batch, strategy)
+
+    @jax.jit
+    def step(params, opt_state, rl_st, key):
+        key, k_s, k_l, k_rl = jax.random.split(key, 4)
+        x, t = sample(k_s, params, rl_st)
+
+        def loss_fn(p):
+            return pde.compute_loss(model.apply, p, x, t, key=k_l)["total"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        if agent is not None:
+            n = min(128, batch)
+            res = pde.compute_residual(model.apply, params, x[:n], t[:n]).reshape(-1)
+            pts = jnp.concatenate([x[:n], t[:n]], axis=-1)
+            rl_st = agent.update(rl_st, pts, jnp.abs(res), pts, jnp.zeros(()), k_rl)
+        return params, opt_state, rl_st, key, loss
+
+    key = jax.random.PRNGKey(seed)
+    # Warm-up compile outside the timed region.
+    params_w, opt_w, rl_w, key_w, _ = step(params, opt_state, rl_state, key)
+    jax.block_until_ready(params_w)
+
+    t0 = time.perf_counter()
+    loss = jnp.inf
+    for _ in range(epochs):
+        params, opt_state, rl_state, key, loss = step(params, opt_state, rl_state, key)
+    loss = float(jax.block_until_ready(loss))
+    wall = time.perf_counter() - t0
+
+    x_grid, t_grid = _fixed_validation_grid(pde)
+    ev = _evaluate(pde, model, params, x_grid, t_grid)
+    return SamplingResult(
+        pde=pde_key,
+        strategy=strategy,
+        final_loss=loss,
+        l2_error=ev["l2"],
+        rel_l2=ev["rel_l2"],
+        wall_time_s=wall,
+        points_per_sec=epochs * batch / max(wall, 1e-9),
+        epochs=epochs,
+        seed=seed,
+    )
+
+
+def run_sampling_benchmark(
+    pde: str = "heat",
+    strategies: Optional[Sequence[str]] = None,
+    epochs: int = 200,
+    batch: int = 1024,
+    lr: float = 2e-3,
+    seed: int = 0,
+) -> List[SamplingResult]:
+    """Benchmark every requested strategy (reference: sampling.py:219-289)."""
+    if pde not in PDE_CHOICES:
+        raise ValueError(f"pde must be one of {PDE_CHOICES}, got {pde!r}")
+    strategies = list(strategies or STRATEGIES)
+    for s in strategies:
+        if s not in STRATEGIES:
+            raise ValueError(f"Unknown strategy {s!r}; valid: {STRATEGIES}")
+    return [_train_one(pde, s, epochs, batch, lr, seed) for s in strategies]
+
+
+def results_to_csv(results: List[SamplingResult]) -> str:
+    header = "pde,strategy,final_loss,l2_error,rel_l2,wall_time_s,points_per_sec,epochs,seed"
+    rows = [
+        f"{r.pde},{r.strategy},{r.final_loss:.6e},{r.l2_error:.6e},{r.rel_l2:.6e},"
+        f"{r.wall_time_s:.3f},{r.points_per_sec:.1f},{r.epochs},{r.seed}"
+        for r in results
+    ]
+    return "\n".join([header] + rows) + "\n"

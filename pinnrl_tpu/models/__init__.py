@@ -111,13 +111,31 @@ def create_module(model_cfg: ModelConfig):
 
 
 class PINNModel:
-    """Architecture factory + pure apply wrapper (reference: neural_networks/__init__.py:61-154)."""
+    """Architecture factory + pure apply wrapper (reference: neural_networks/__init__.py:61-154).
+
+    Inputs are affinely normalized from the PDE domain to [-1, 1]^d before the
+    network (SIREN/Fourier features expect unit-scale inputs, and it removes
+    the degenerate all-zero first-layer activation at domain corners that
+    makes LayerNorm derivatives blow up). Derivatives w.r.t. physical
+    coordinates flow through the affine map via the chain rule automatically.
+    """
 
     def __init__(self, config: Config | ModelConfig, rng: Optional[jax.Array] = None, seed: int = 0):
         model_cfg = config.model if isinstance(config, Config) else config
         self.config = model_cfg
         self.architecture_name = model_cfg.architecture
         self.module = create_module(model_cfg)
+
+        # Input normalization bounds from the PDE domain (identity fallback).
+        if isinstance(config, Config):
+            lo = [d[0] for d in config.pde.domain] + [config.pde.time_domain[0]]
+            hi = [d[1] for d in config.pde.domain] + [config.pde.time_domain[1]]
+        else:
+            lo = [0.0] * model_cfg.input_dim
+            hi = [1.0] * model_cfg.input_dim
+        self._in_lo = jnp.asarray(lo, jnp.float32)
+        self._in_scale = 2.0 / (jnp.asarray(hi, jnp.float32) - self._in_lo)
+
         rng = rng if rng is not None else jax.random.PRNGKey(seed)
         dummy = jnp.zeros((1, model_cfg.input_dim), jnp.float32)
         variables = self.module.init(rng, dummy)
@@ -128,6 +146,7 @@ class PINNModel:
 
     def apply(self, params, x, deterministic: bool = True):
         """Pure forward pass: ``x`` is (..., input_dim); works point-wise or batched."""
+        x = (x - self._in_lo) * self._in_scale - 1.0
         return self.module.apply(
             {"params": params, **self.constants}, x, deterministic=deterministic
         )
