@@ -213,6 +213,12 @@ class PDETrainer:
             state = carry
             key, k_samp, k_loss, k_rl = jax.random.split(state["key"], 4)
             x, t = self._sample(k_samp, batch_size, state["params"], state["rl"])
+            if self.mesh is not None:
+                # Shard the collocation batch across the data axis; params
+                # stay replicated, so XLA emits the gradient psum over ICI.
+                from pinnrl_tpu.parallel.mesh import shard_batch
+
+                x, t = shard_batch(self.mesh, x, t)
 
             # --- gradient computation ---
             if not aw_on:
@@ -354,6 +360,10 @@ class PDETrainer:
         if self.optimizer_name == "lbfgs":
             batch_size = num_points  # full batch (reference: trainer.py:456-462)
         batch_size = min(batch_size, num_points)
+        if self.mesh is not None:
+            from pinnrl_tpu.parallel.mesh import pad_to_multiple
+
+            batch_size = pad_to_multiple(batch_size, self.mesh.size)
         steps_per_epoch = max(num_points // batch_size, 1)
 
         exp = Path(experiment_dir) if experiment_dir else None
