@@ -130,10 +130,20 @@ class RLAgent:
     def select_action(self, state: RLAgentState, points: jax.Array, key: jax.Array) -> jax.Array:
         """epsilon-greedy scores over a batch of candidate points
         (reference: rl_agent.py:214-229): policy Q-values with prob 1-eps,
-        random scores with prob eps — branch resolved on device."""
+        random scores with prob eps — branch resolved on device.
+
+        Grid scoring is a pure forward pass (scores feed a categorical draw,
+        no gradient), so it routes through the fused Pallas MLP kernel on TPU
+        (pinnrl_tpu.ops.kernels.mlp) when shapes allow.
+        """
         k_bern, k_rand = jax.random.split(key)
         explore = jax.random.uniform(k_bern) < state.epsilon
-        q = self.network.apply({"params": state.policy_params}, points)[..., 0]
+        try:
+            from pinnrl_tpu.ops.kernels.mlp import fused_mlp_score
+
+            q = fused_mlp_score(points, state.policy_params)[..., 0]
+        except Exception:
+            q = self.network.apply({"params": state.policy_params}, points)[..., 0]
         r = jax.random.uniform(k_rand, q.shape)
         return jnp.where(explore, r, q)
 

@@ -312,6 +312,9 @@ class PDETrainer:
                 "smoothness": losses["smoothness"],
                 "data": losses["data"],
                 "weights": weights,
+                # Downsampled collocation points for the evolution plots
+                # (reference points_history: trainer.py:564-566).
+                "pts": jnp.concatenate([x[:64], t[:64]], axis=-1),
             }
             new_state = {
                 "params": params,
@@ -323,11 +326,20 @@ class PDETrainer:
             }
             return new_state, metrics
 
-        def epoch_fn(state):
+        def epoch_fn(state, _=None):
             state, metrics = jax.lax.scan(step, state, None, length=steps_per_epoch)
-            return state, jax.tree_util.tree_map(lambda m: jnp.mean(m, axis=0), metrics)
+            pts = metrics.pop("pts")[-1]  # last step's sampled points
+            out = jax.tree_util.tree_map(lambda m: jnp.mean(m, axis=0), metrics)
+            out["pts"] = pts
+            return state, out
 
-        return jax.jit(epoch_fn, donate_argnums=0)
+        def chunk_fn(state, n_epochs_in_chunk):
+            # Fuse a whole validation interval of epochs into ONE device
+            # call: the host syncs once per chunk instead of 7+ times per
+            # epoch (each transfer over the TPU tunnel costs ~10s of ms).
+            return jax.lax.scan(epoch_fn, state, None, length=n_epochs_in_chunk)
+
+        return jax.jit(chunk_fn, static_argnums=1, donate_argnums=0)
 
     # ------------------------------------------------------------------ #
     # Validation
@@ -352,6 +364,7 @@ class PDETrainer:
         num_points: Optional[int] = None,
         experiment_dir: Optional[str] = None,
         seed: int = 0,
+        resume_from: Optional[str] = None,
     ) -> Dict[str, Any]:
         t = self.tcfg
         num_epochs = num_epochs or t.num_epochs
@@ -402,6 +415,12 @@ class PDETrainer:
         # Break any buffer aliasing (e.g. L-BFGS init referencing param
         # buffers) so the epoch function can donate its input state.
         state = jax.tree_util.tree_map(jnp.array, state)
+
+        start_epoch = 0
+        if resume_from:
+            state, start_epoch = self._load_checkpoint(resume_from, state)
+            logger.info("Resumed from %s at epoch %d", resume_from, start_epoch)
+        self.points_history: list = getattr(self, "points_history", [])
         epoch_fn = self._build_epoch_fn(optimizer, batch_size, steps_per_epoch, lbfgs_mode)
         val_fn = self._build_val_fn(self.config.evaluation.num_points)
 
@@ -413,81 +432,105 @@ class PDETrainer:
         status = "completed"
         oc_lr = t.optimizer_config.learning_rate
 
+        lr_sched = (
+            self._make_lr_schedule(num_epochs, steps_per_epoch)
+            if t.scheduler_type == "cosine"
+            else None
+        )
+        stop = False
+        epoch = start_epoch
         try:
-            for epoch in range(num_epochs):
+            while epoch < num_epochs and not stop:
                 # Two-phase Adam -> L-BFGS switch (reference: trainer.py:357-361,849-859).
                 if (
                     self.switch_epoch is not None
-                    and epoch == self.switch_epoch
+                    and epoch >= self.switch_epoch
                     and not lbfgs_mode
                 ):
                     logger.info("Switching optimizer: adam -> lbfgs at epoch %d", epoch)
                     optimizer, lbfgs_mode = lbfgs_opt, True
-                    batch_size_lb = num_points
-                    steps_lb = 1
+                    steps_per_epoch = 1
                     state = {
                         **state,
                         "opt_state": jax.tree_util.tree_map(
                             jnp.array, optimizer.init(state["params"])
                         ),
                     }
-                    epoch_fn = self._build_epoch_fn(optimizer, batch_size_lb, steps_lb, True)
+                    epoch_fn = self._build_epoch_fn(optimizer, num_points, 1, True)
+
+                # Chunk = one validation interval of epochs fused into a single
+                # device call; clipped at the lbfgs switch and the horizon.
+                chunk = min(t.validation_frequency, num_epochs - epoch)
+                if self.switch_epoch is not None and not lbfgs_mode:
+                    chunk = min(chunk, max(self.switch_epoch - epoch, 1))
 
                 t0 = time.time()
-                state, metrics = epoch_fn(state)
-                train_loss = float(metrics["total"])
-                epoch_time = time.time() - t0
+                state, metrics = epoch_fn(state, chunk)
+                metrics = jax.device_get(metrics)  # ONE host transfer per chunk
+                chunk_time = time.time() - t0
 
-                self.history["train_loss"].append(train_loss)
-                self.history["epoch_time"].append(epoch_time)
-                for k in ("residual", "boundary", "initial", "smoothness", "data"):
-                    self.history["loss_components"][k].append(float(metrics[k]))
-                w = np.asarray(metrics["weights"]).tolist()
-                self.history["adaptive_weights"].append((w + [0.0] * 4)[:4])
-                # Current LR (cosine schedule value or plateau-scaled base LR).
-                if t.scheduler_type == "cosine":
-                    sched = self._make_lr_schedule(num_epochs, steps_per_epoch)
-                    lr_now = float(sched((epoch + 1) * steps_per_epoch))
-                else:
-                    lr_now = float(oc_lr * _plateau_scale(state["opt_state"]))
-                self.history["learning_rate"].append(lr_now)
-                for name in self.pde.trainable_parameters:
-                    self.history[f"param_{name}"].append(
-                        float(state["params"]["coeffs"][name])
-                    )
+                for i in range(chunk):
+                    self.history["train_loss"].append(float(metrics["total"][i]))
+                    self.history["epoch_time"].append(chunk_time / chunk)
+                    for k in ("residual", "boundary", "initial", "smoothness", "data"):
+                        self.history["loss_components"][k].append(float(metrics[k][i]))
+                    w = np.asarray(metrics["weights"][i]).tolist()
+                    self.history["adaptive_weights"].append((w + [0.0] * 4)[:4])
+                    e = epoch + i
+                    if lr_sched is not None:
+                        lr_now = float(lr_sched((e + 1) * steps_per_epoch))
+                    else:
+                        lr_now = float(oc_lr * _plateau_scale(state["opt_state"]))
+                    self.history["learning_rate"].append(lr_now)
+                epoch += chunk
+                train_loss = self.history["train_loss"][-1]
+                lr_now = self.history["learning_rate"][-1]
+                if self.pde.trainable_parameters:
+                    coeffs_host = jax.device_get(state["params"]["coeffs"])
+                    for name in self.pde.trainable_parameters:
+                        # Per-epoch trajectory: pad the chunk with the value at
+                        # its end (coeff history is for monitoring cadence).
+                        self.history[f"param_{name}"].extend(
+                            [float(coeffs_host[name])] * chunk
+                        )
 
                 if not np.isfinite(train_loss):
                     logger.warning("Non-finite loss at epoch %d; stopping", epoch)
                     status = "failed"
                     break
 
-                if (epoch + 1) % t.validation_frequency == 0 or epoch == num_epochs - 1:
-                    val_key, k = jax.random.split(val_key)
-                    val_loss = float(val_fn(state["params"], k))
-                    self.history["val_loss"].append(val_loss)
-                    logger.info(
-                        "epoch %d/%d train=%.4e val=%.4e lr=%.2e (%.2fs)",
-                        epoch + 1, num_epochs, train_loss, val_loss, lr_now, epoch_time,
+                # Validation boundary = chunk boundary.
+                self.points_history.append(np.asarray(metrics["pts"][-1]))
+                val_key, k = jax.random.split(val_key)
+                val_loss = float(val_fn(state["params"], k))
+                self.history["val_loss"].append(val_loss)
+                logger.info(
+                    "epoch %d/%d train=%.4e val=%.4e lr=%.2e (%.3fs/epoch)",
+                    epoch, num_epochs, train_loss, val_loss, lr_now, chunk_time / chunk,
+                )
+                if exp:
+                    save_training_metrics(exp, self.history)
+                    self._write_metadata(
+                        exp, status="running", num_epochs=num_epochs,
+                        current_epoch=epoch, coeffs=state["params"]["coeffs"],
                     )
-                    if exp:
-                        save_training_metrics(exp, self.history)
-                        self._write_metadata(
-                            exp, status="running", num_epochs=num_epochs,
-                            current_epoch=epoch + 1, coeffs=state["params"]["coeffs"],
-                        )
-                        save_live_snapshot(
-                            exp, self.pde, self.model, state["params"], grid=60
-                        )
-                    # Early stopping (reference: trainer.py:788-801).
-                    if es.enabled:
-                        if val_loss < best_val - es.min_delta:
-                            best_val = val_loss
-                            patience_count = 0
-                        else:
-                            patience_count += 1
-                            if patience_count >= es.patience:
-                                logger.info("Early stopping at epoch %d", epoch + 1)
-                                break
+                    save_live_snapshot(
+                        exp, self.pde, self.model, state["params"], grid=60
+                    )
+                    # True mid-run resume — the reference only saves final
+                    # weights (SURVEY.md §5.4); checkpoint.msgpack restores
+                    # params + optimizer + RL/adaptive state + epoch.
+                    self._save_checkpoint(exp / "checkpoint.msgpack", state, epoch)
+                # Early stopping (reference: trainer.py:788-801).
+                if es.enabled:
+                    if val_loss < best_val - es.min_delta:
+                        best_val = val_loss
+                        patience_count = 0
+                    else:
+                        patience_count += 1
+                        if patience_count >= es.patience:
+                            logger.info("Early stopping at epoch %d", epoch)
+                            stop = True
         except Exception:
             status = "failed"
             if exp:
@@ -511,6 +554,8 @@ class PDETrainer:
             "status": status,
         }
         if exp:
+            if self.config.evaluation.save_plots:
+                self._save_final_plots(exp, state)
             save_training_metrics(exp, self.history)
             self._write_metadata(
                 exp,
@@ -526,6 +571,68 @@ class PDETrainer:
             (exp / ".running").unlink(missing_ok=True)
         self._final_state = state
         return result
+
+    # ------------------------------------------------------------------ #
+    # Checkpoint / resume (new capability — reference is save-only,
+    # SURVEY.md §5.4)
+    # ------------------------------------------------------------------ #
+
+    def _save_checkpoint(self, path: Path, state: Dict, epoch: int) -> None:
+        """Device state as msgpack + JSON sidecar for epoch/history (flax
+        serialization cannot restore variable-length Python lists)."""
+        try:
+            from flax import serialization
+
+            path = Path(path)
+            path.write_bytes(serialization.to_bytes(state))
+            path.with_suffix(".json").write_text(
+                json.dumps({"epoch": epoch, "history": self.history}, default=str)
+            )
+        except Exception:  # checkpointing must not kill training
+            logger.exception("checkpoint save failed")
+
+    def _load_checkpoint(self, path: str, template_state: Dict):
+        from flax import serialization
+
+        path = Path(path)
+        state = serialization.from_bytes(template_state, path.read_bytes())
+        side = json.loads(path.with_suffix(".json").read_text())
+        self.history = side["history"]
+        return jax.tree_util.tree_map(jnp.array, state), int(side["epoch"])
+
+    # ------------------------------------------------------------------ #
+    # Final plots (reference: trainer.py:974-1693)
+    # ------------------------------------------------------------------ #
+
+    def _save_final_plots(self, exp: Path, state: Dict) -> None:
+        from pinnrl_tpu.utils.plotting import (
+            create_interactive_report,
+            plot_collocation_evolution,
+            plot_solution,
+            plot_training_history,
+        )
+
+        viz = exp / "visualizations"
+        plot_training_history(self.history, viz / "training_history.png")
+        plot_solution(
+            self.pde, self.model, state["params"]["net"], viz / "solution.png"
+        )
+        if getattr(self, "points_history", None):
+            plot_collocation_evolution(
+                self.points_history, self.pde.domain, self.pde.time_domain,
+                viz / "collocation_evolution.png",
+            )
+        # Heat gets an FDM cross-check (reference: trainer.py:1652-1693).
+        if self.pde.pde_type == "heat" and self.pde.dimension == 1:
+            try:
+                from pinnrl_tpu.numerical_solvers import HeatEquationFDM
+
+                fdm = HeatEquationFDM(self.pde, nx=101)
+                cmp = fdm.compare_with_pinn(self.model.apply, state["params"]["net"])
+                (exp / "fdm_comparison.json").write_text(json.dumps(cmp, indent=2))
+            except Exception:
+                logger.exception("FDM comparison failed")
+        create_interactive_report(exp)
 
     # ------------------------------------------------------------------ #
     # Experiment metadata
