@@ -211,7 +211,16 @@ class PDETrainer:
 
         def step(carry, _):
             state = carry
-            key, k_samp, k_loss, k_rl = jax.random.split(state["key"], 4)
+            if lbfgs:
+                # L-BFGS needs a deterministic objective: fresh resampling
+                # every step destroys its curvature history and line search.
+                # Use one fixed full batch for the whole phase (the reference
+                # also evaluates the closure on a fixed per-step batch).
+                key, k_rl = jax.random.split(state["key"], 2)
+                k_samp = jax.random.PRNGKey(0x5EED)
+                k_loss = jax.random.PRNGKey(0x10E5)
+            else:
+                key, k_samp, k_loss, k_rl = jax.random.split(state["key"], 4)
             x, t = self._sample(k_samp, batch_size, state["params"], state["rl"])
             if self.mesh is not None:
                 # Shard the collocation batch across the data axis; params
@@ -339,7 +348,11 @@ class PDETrainer:
             # epoch (each transfer over the TPU tunnel costs ~10s of ms).
             return jax.lax.scan(epoch_fn, state, None, length=n_epochs_in_chunk)
 
-        return jax.jit(chunk_fn, static_argnums=1, donate_argnums=0)
+        # NOTE: no donate_argnums here. With buffer donation the axon TPU
+        # backend returned a final scan carry inconsistent with the metrics
+        # computed inside the scan (params silently diverged); dropping
+        # donation restores correctness at the cost of one extra state copy.
+        return jax.jit(chunk_fn, static_argnums=1)
 
     # ------------------------------------------------------------------ #
     # Validation
@@ -621,6 +634,13 @@ class PDETrainer:
             plot_collocation_evolution(
                 self.points_history, self.pde.domain, self.pde.time_domain,
                 viz / "collocation_evolution.png",
+            )
+        if self.rl_agent is not None and state.get("rl") != ():
+            from pinnrl_tpu.utils.plotting import plot_q_density
+
+            plot_q_density(
+                self.rl_agent, state["rl"], self.pde.domain, self.pde.time_domain,
+                viz / "rl_q_density.png",
             )
         # Heat gets an FDM cross-check (reference: trainer.py:1652-1693).
         if self.pde.pde_type == "heat" and self.pde.dimension == 1:

@@ -7,3 +7,11 @@ from pinnrl_tpu.utils.io import (  # noqa: F401
     save_training_metrics,
 )
 from pinnrl_tpu.utils.logging import setup_logging  # noqa: F401
+
+
+def generate_collocation_points(key, num_points, domain, time_domain, strategy="uniform"):
+    """Standalone sampler helper (reference: pinnrl/utils/utils.py:48-76)."""
+    from pinnrl_tpu.sampling import sample_stratified, sample_uniform
+
+    fn = sample_stratified if strategy == "stratified" else sample_uniform
+    return fn(key, num_points, domain, time_domain)

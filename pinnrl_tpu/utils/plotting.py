@@ -182,6 +182,41 @@ def plot_architecture_comparison(
         return None
 
 
+def plot_q_density(
+    agent, agent_state, domain, time_domain, out_path: str | Path, grid: int = 100
+) -> Optional[Path]:
+    """Heatmap of the DQN policy's Q-values over the (x, t) plane — where the
+    agent wants to sample (reference: rl_agent.py:398-555 density maps)."""
+    if not HAS_MPL:
+        return None
+    try:
+        import jax.numpy as jnp
+
+        from pinnrl_tpu.sampling.strategies import make_grid
+
+        pts = make_grid(domain, time_domain, grid)
+        q = np.asarray(
+            agent.network.apply({"params": agent_state.policy_params}, pts)
+        )[..., 0].reshape(grid, grid)
+        fig, ax = plt.subplots(figsize=(6, 4.5))
+        im = ax.imshow(
+            q.T, origin="lower", aspect="auto",
+            extent=[domain[0][0], domain[0][1], time_domain[0], time_domain[1]],
+        )
+        fig.colorbar(im, label="Q(s)")
+        ax.set_xlabel("x"), ax.set_ylabel("t")
+        ax.set_title(f"DQN sampling preference (eps={float(agent_state.epsilon):.3f})")
+        fig.tight_layout()
+        out_path = Path(out_path)
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        fig.savefig(out_path, dpi=110)
+        plt.close(fig)
+        return out_path
+    except Exception:
+        logger.exception("plot_q_density failed")
+        return None
+
+
 def create_interactive_report(
     experiment_dir: str | Path, out_path: Optional[str | Path] = None
 ) -> Optional[Path]:
