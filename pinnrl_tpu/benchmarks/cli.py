@@ -89,8 +89,37 @@ def main(argv=None) -> int:
     p_s.add_argument("--csv", default=None)
     p_s.set_defaults(func=_sampling_command)
 
+    p_c = sub.add_parser("convergence", help="rel-L2 vs exact with tuned recipes")
+    p_c.add_argument("--pde", choices=["heat", "wave", "burgers", "kdv", "all"],
+                     default="heat")
+    p_c.add_argument("--epochs", type=int, default=None, help="Override recipe epochs")
+    p_c.add_argument("--seed", type=int, default=0)
+    p_c.add_argument("--csv", default=None)
+    p_c.set_defaults(func=_convergence_command)
+
     args = parser.parse_args(argv)
     return args.func(args)
+
+
+def _convergence_command(args) -> int:
+    from pinnrl_tpu.benchmarks.convergence import (
+        RECIPES,
+        results_to_csv,
+        run_convergence,
+    )
+
+    pdes = list(RECIPES) if args.pde == "all" else [args.pde]
+    results = [run_convergence(p, seed=args.seed, epochs=args.epochs) for p in pdes]
+    rows = [
+        (r.pde, r.architecture, r.epochs, f"{r.rel_l2:.3e}", f"{r.max_error:.3e}",
+         f"{r.wall_time_s:.0f}", f"{r.points_per_sec:.0f}")
+        for r in results
+    ]
+    _print_table(rows, ["pde", "arch", "epochs", "rel_l2", "max_err", "wall_s", "pts/sec"])
+    if args.csv:
+        Path(args.csv).write_text(results_to_csv(results))
+        print(f"CSV written to {args.csv}")
+    return 0
 
 
 if __name__ == "__main__":
