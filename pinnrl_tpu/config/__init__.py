@@ -151,6 +151,11 @@ class TrainingConfig(_DictAccess):
     loss_function: str = "mse"
     huber_delta: float = 1.0
     gradient_clip_norm: float = 1.0
+    # Causal residual weighting (Wang et al., "Respecting causality is all
+    # you need"): weight residuals at time t by exp(-eps * accumulated
+    # earlier-time residual), so the solution is learned front-to-back.
+    # 0.0 disables. New capability beyond the reference.
+    causal_eps: float = 0.0
     scheduler_type: str = "cosine"
     loss_weights: Dict[str, float] = field(
         default_factory=lambda: {

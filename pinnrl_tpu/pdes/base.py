@@ -384,6 +384,27 @@ class PDEBase:
             delta = float(getattr(self.training, "huber_delta", 1.0))
         return apply_loss_fn(diff, lf, delta)
 
+    def _residual_loss(self, residual: jax.Array, t: jax.Array) -> jax.Array:
+        """Residual reduction, optionally causally weighted.
+
+        With ``training.causal_eps > 0`` residuals are sorted by time and
+        weighted ``w_i = exp(-eps * sum_{t_j < t_i} r_j^2 / N)`` (weights
+        stop-gradiented), so late-time residuals only matter once early-time
+        physics is satisfied — the front-to-back training of Wang et al.
+        Time-horizon error amplification (e.g. KdV over t in [0,5]) is the
+        failure mode this addresses.
+        """
+        eps = float(getattr(self.training, "causal_eps", 0.0) or 0.0) if self.training else 0.0
+        if eps <= 0.0:
+            return self._loss(residual)
+        r2 = residual.reshape(-1) ** 2
+        order = jnp.argsort(t.reshape(-1))
+        r2_sorted = r2[order]
+        n = r2_sorted.shape[0]
+        cum_prev = jnp.cumsum(r2_sorted) - r2_sorted
+        w = jax.lax.stop_gradient(jnp.exp(-eps * cum_prev / n))
+        return jnp.sum(w * r2_sorted) / jnp.maximum(jnp.sum(w), 1e-12)
+
     def _training_mode(self) -> str:
         return getattr(self.training, "mode", "forward") if self.training else "forward"
 
@@ -443,7 +464,7 @@ class PDEBase:
         constants; mode/weight gating happens at trace time.
         """
         residual = self.compute_residual(apply_fn, params, x, t, coeffs)
-        residual_loss = self._loss(residual)
+        residual_loss = self._residual_loss(residual, t)
 
         x_b, t_b = self._boundary_skeleton()
         boundary_loss = jnp.zeros(())

@@ -151,7 +151,7 @@ class HeatEquation(PDEBase):
 
     def compute_loss(self, apply_fn, params, x, t, coeffs=None, key=None):
         residual = self.compute_residual(apply_fn, params, x, t, coeffs)
-        residual_loss = self._loss(residual)
+        residual_loss = self._residual_loss(residual, t)
 
         n_colloc = x.shape[0]
         if self.training is not None:

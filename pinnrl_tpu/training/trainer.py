@@ -5,9 +5,10 @@ trainer.py:27-1693). The reference runs a Python epoch loop where every step
 does host-side sampling, several autograd passes and an optimizer step; here
 **one epoch is a single XLA program**: a jitted ``jax.lax.scan`` over steps,
 each step fusing sample -> loss (residual/BC/IC/data) -> grad -> optax update
--> (optionally) the DQN agent's replay push + TD update. The host touches the
-device once per epoch to fetch metrics and handles only I/O, validation
-cadence, early stopping, and the Adam->L-BFGS phase switch.
+-> (optionally) the DQN agent's replay push + TD update. A whole validation
+interval of epochs is fused into one device call; the host syncs once per
+chunk and handles only I/O, validation cadence, early stopping, and the
+Adam->L-BFGS phase switch.
 
 Feature parity checklist (reference lines):
 - optimizers adam | lbfgs | adam_lbfgs with switch_ratio (trainer.py:281-389)
@@ -386,6 +387,10 @@ class PDETrainer:
         if self.optimizer_name == "lbfgs":
             batch_size = num_points  # full batch (reference: trainer.py:456-462)
         batch_size = min(batch_size, num_points)
+        # Recompute the phase switch against the ACTUAL horizon (train() args
+        # may override the config the constructor saw).
+        if self.optimizer_name == "adam_lbfgs":
+            self.switch_epoch = int(self.tcfg.adam_lbfgs_switch_ratio * num_epochs)
         if self.mesh is not None:
             from pinnrl_tpu.parallel.mesh import pad_to_multiple
 
