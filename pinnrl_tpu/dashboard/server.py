@@ -193,6 +193,18 @@ class _Handler(BaseHTTPRequestHandler):
                     self._json(snap if snap else {"error": "no snapshot"})
                 elif what == "metadata":
                     self._json(_read_json(exp / "metadata.json") or {})
+                elif what == "report":
+                    # Downloadable self-contained HTML report
+                    # (reference: dashboard.py:2091-2127).
+                    report = exp / "report.html"
+                    if not report.exists():
+                        from pinnrl_tpu.utils.plotting import create_interactive_report
+
+                        create_interactive_report(exp)
+                    if report.exists():
+                        self._send(200, report.read_bytes(), "text/html; charset=utf-8")
+                    else:
+                        self._json({"error": "no report"}, 404)
                 else:
                     self._json({"error": "unknown endpoint"}, 404)
             else:

@@ -18,11 +18,46 @@ import jax.numpy as jnp
 from pinnrl_tpu.models.base import get_activation
 
 
+import numpy as _np
+
+
+def _dft_bases(C: int, modes: int):
+    """Real matmul factorization of rfft-truncate / zero-pad-irfft.
+
+    Small FFTs are faster as matmuls on the TPU MXU, and — unlike FFT
+    primitives — plain matmuls are transparent to arbitrarily nested
+    forward-mode AD (the PINN residual path differentiates through FNO up
+    to 4th order). Forward: re = x @ F_cos, im = x @ F_sin. Inverse (with
+    Hermitian weighting, zero-padded beyond ``modes``): y = re @ G_cos +
+    im @ G_sin.
+    """
+    n = _np.arange(C)[:, None]
+    k = _np.arange(modes)[None, :]
+    ang = 2.0 * _np.pi * n * k / C
+    F_cos = _np.cos(ang)
+    F_sin = -_np.sin(ang)
+    w = _np.where((k.ravel() == 0) | (2 * k.ravel() == C), 1.0, 2.0)
+    G_cos = (w[:, None] * _np.cos(ang.T)) / C
+    G_sin = -(w[:, None] * _np.sin(ang.T)) / C
+    return (
+        jnp.asarray(F_cos, jnp.float32),
+        jnp.asarray(F_sin, jnp.float32),
+        jnp.asarray(G_cos, jnp.float32),
+        jnp.asarray(G_sin, jnp.float32),
+    )
+
+
 class SpectralConv(nn.Module):
-    """Channel-spectral convolution: rfft -> truncated complex mix -> irfft."""
+    """Channel-spectral convolution: rfft -> truncated complex mix -> irfft.
+
+    ``use_dft_matmul=True`` (default) computes the transform pair as four
+    real matmuls against fixed DFT bases — MXU-resident and safe under
+    nested jvp; ``False`` uses jnp.fft (reference-equivalent path).
+    """
 
     hidden_dim: int
     modes: int
+    use_dft_matmul: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -35,6 +70,13 @@ class SpectralConv(nn.Module):
         w_im = self.param(
             "w_im", nn.initializers.normal(scale), (modes, modes), jnp.float32
         )
+        if self.use_dft_matmul:
+            F_cos, F_sin, G_cos, G_sin = _dft_bases(self.hidden_dim, modes)
+            re = x @ F_cos
+            im = x @ F_sin
+            out_re = re @ w_re - im @ w_im
+            out_im = re @ w_im + im @ w_re
+            return out_re @ G_cos + out_im @ G_sin
         xf = jnp.fft.rfft(x, axis=-1)  # (..., n_freq) complex
         low = xf[..., :modes]
         w = w_re + 1j * w_im

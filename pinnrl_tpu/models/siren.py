@@ -24,17 +24,30 @@ def _siren_init(omega_0: float, is_first: bool):
 
 
 class SIRENLayer(nn.Module):
+    """One fused sin(omega_0 * (W x + b)) layer.
+
+    Routes through the Pallas kernel (pinnrl_tpu.ops.kernels.siren) on TPU
+    for tile-aligned 2D batches; the kernel's analytic custom_jvp keeps
+    nested forward-mode derivatives exact.
+    """
+
     features: int
     omega_0: float = 30.0
     is_first: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(
-            self.features,
-            kernel_init=_siren_init(self.omega_0, self.is_first),
-        )(x)
-        return jnp.sin(self.omega_0 * x)
+        from pinnrl_tpu.ops.kernels.siren import siren_layer
+
+        W = self.param(
+            "kernel",
+            _siren_init(self.omega_0, self.is_first),
+            (x.shape[-1], self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        if x.ndim == 2:
+            return siren_layer(x, W, b, self.omega_0)
+        return jnp.sin(self.omega_0 * (x @ W + b))
 
 
 class SIREN(nn.Module):

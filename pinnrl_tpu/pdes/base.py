@@ -540,6 +540,44 @@ class PDEBase:
         return losses
 
     # ------------------------------------------------------------------ #
+    # State persistence (reference: pde_base.py:1335-1362)
+    # ------------------------------------------------------------------ #
+
+    def save_state(self, path) -> None:
+        """Persist settings + collocation history (JSON+NPZ, no pickle)."""
+        import json
+        from dataclasses import asdict
+        from pathlib import Path
+
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        payload = {
+            "pde_type": self.pde_type,
+            "settings": asdict(self.settings),
+            "true_parameters": self._true_parameters,
+        }
+        path.write_text(json.dumps(payload, default=str, indent=2))
+        if self.collocation_history:
+            np.savez(
+                path.with_suffix(".history.npz"),
+                *[np.asarray(h) for h in self.collocation_history],
+            )
+
+    @classmethod
+    def load_state(cls, path, training: Optional[TrainingConfig] = None):
+        import json
+        from pathlib import Path
+
+        payload = json.loads(Path(path).read_text())
+        settings = PDESettings(**payload["settings"])
+        pde = cls.create(payload["pde_type"], settings, training)
+        hist_path = Path(path).with_suffix(".history.npz")
+        if hist_path.exists():
+            with np.load(hist_path) as data:
+                pde.collocation_history = [data[k] for k in data.files]
+        return pde
+
+    # ------------------------------------------------------------------ #
     # Validation
     # ------------------------------------------------------------------ #
 
