@@ -65,7 +65,9 @@ RECIPES: Dict[str, dict] = {
             num_epochs=3000, num_collocation_points=40000, batch_size=8192,
             num_boundary_points=4096, num_initial_points=4096,
             optimizer="adam_lbfgs", adam_lbfgs_switch_ratio=0.5,
-            learning_rate=2e-3, weight_decay=0.0,
+            learning_rate=1e-3, weight_decay=0.0,
+            loss_weights={"residual": 1.0, "boundary": 100.0, "initial": 100.0,
+                          "smoothness": 0.0, "data": 10.0},
         ),
     ),
     "burgers": dict(
@@ -100,6 +102,8 @@ def run_convergence(
     tr_over = dict(recipe["training"])
     t.optimizer_config.learning_rate = tr_over.pop("learning_rate", 2e-3)
     t.optimizer_config.weight_decay = tr_over.pop("weight_decay", 0.0)
+    if "loss_weights" in tr_over:
+        t.loss_weights.update(tr_over.pop("loss_weights"))
     for k, v in tr_over.items():
         setattr(t, k, v)
     if epochs:

@@ -35,6 +35,12 @@ class FourierFeatures(nn.Module):
             lambda: self.scale
             * jax.random.normal(self.make_rng("params"), (in_dim, self.mapping_size)),
         ).value
+        if x.ndim == 2:
+            # Fused Pallas kernel (projection + sin/cos in one VMEM pass)
+            # with an analytic custom_jvp for the nested-AD residual path.
+            from pinnrl_tpu.ops.kernels.fourier_feats import fourier_features
+
+            return fourier_features(x, B, self.periodic)
         proj = x @ B
         if self.periodic:
             proj = 2.0 * jnp.pi * proj
