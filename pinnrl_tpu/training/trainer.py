@@ -103,8 +103,6 @@ class PDETrainer:
         for name in self.pde.trainable_parameters:
             self.history[f"param_{name}"] = []
 
-        self._compiled = {}
-
     # ------------------------------------------------------------------ #
     # Optimizer construction
     # ------------------------------------------------------------------ #
@@ -299,7 +297,10 @@ class PDETrainer:
                 params = optax.apply_updates(state["params"], updates)
 
             # --- RL agent update: per-point |residual| reward so the DQN
-            # learns the residual landscape it should concentrate on ---
+            # learns the residual landscape it should concentrate on.
+            # Bandit-style transitions (done=1): each sampled point is its own
+            # state with reward |r| AT that point, so Q(s) -> E|residual(s)|
+            # with no bootstrapping mismatch. ---
             rl_state = state["rl"]
             if agent is not None:
                 pts = jnp.concatenate([x[:n_push], t[:n_push]], axis=-1)
@@ -308,11 +309,8 @@ class PDETrainer:
                 ).reshape(-1)
                 reward = jnp.abs(res)
                 rl_state = agent.update(
-                    rl_state, state["prev_pts"], reward, pts, jnp.zeros(()), k_rl
+                    rl_state, pts, reward, pts, jnp.ones(()), k_rl
                 )
-                prev_pts = pts
-            else:
-                prev_pts = state["prev_pts"]
 
             metrics = {
                 "total": total,
@@ -332,7 +330,6 @@ class PDETrainer:
                 "aw": aw_state,
                 "rl": rl_state,
                 "key": key,
-                "prev_pts": prev_pts,
             }
             return new_state, metrics
 
@@ -426,12 +423,9 @@ class PDETrainer:
             "aw": self.adaptive_weights.init(),
             "rl": rl_state,
             "key": key,
-            "prev_pts": jnp.zeros(
-                (min(128, batch_size), self.pde.dimension + 1)
-            ),
         }
         # Break any buffer aliasing (e.g. L-BFGS init referencing param
-        # buffers) so the epoch function can donate its input state.
+        # buffers) before handing the state to the compiled epoch function.
         state = jax.tree_util.tree_map(jnp.array, state)
 
         start_epoch = 0
