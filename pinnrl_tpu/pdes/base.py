@@ -417,22 +417,28 @@ class PDEBase:
     def _boundary_skeleton(self, n_time: int = 100):
         """Static boundary evaluation points: every domain face x a time
         linspace (reference: pde_base.py:1100-1125). Precomputed with numpy so
-        it folds to constants under jit."""
-        faces = []
-        for dim in range(self.dimension):
-            faces.extend([self.domain[dim][0], self.domain[dim][1]])
-        t_line = np.linspace(self.time_domain[0], self.time_domain[1], n_time)
-        x_b = np.repeat(np.array(faces, np.float32).reshape(-1, 1), n_time, axis=0)
-        t_b = np.tile(t_line.astype(np.float32).reshape(-1, 1), (len(faces), 1))
-        if self.dimension > 1:
-            # Face value goes in column 0 (mirrors the reference's 1-column
-            # boundary tensor broadcast); remaining coords at domain midpoints.
-            mids = np.array(
-                [0.5 * (lo + hi) for lo, hi in self.domain], np.float32
-            )
-            x_full = np.tile(mids, (x_b.shape[0], 1))
-            x_full[:, 0] = x_b[:, 0]
-            x_b = x_full
+        it folds to constants under jit.
+
+        N-D: for each axis and each face, the pinned coordinate sits on the
+        face while the free spatial coordinates sweep a linspace (so every
+        face of the box is actually enforced)."""
+        t_line = np.linspace(
+            self.time_domain[0], self.time_domain[1], n_time
+        ).astype(np.float32).reshape(-1, 1)
+        blocks_x, blocks_t = [], []
+        for axis in range(self.dimension):
+            for face_val in self.domain[axis]:
+                block = np.empty((n_time, self.dimension), np.float32)
+                for d in range(self.dimension):
+                    if d == axis:
+                        block[:, d] = face_val
+                    else:
+                        lo, hi = self.domain[d]
+                        block[:, d] = np.linspace(lo, hi, n_time)
+                blocks_x.append(block)
+                blocks_t.append(t_line)
+        x_b = np.concatenate(blocks_x, axis=0)
+        t_b = np.concatenate(blocks_t, axis=0)
         return jnp.asarray(x_b), jnp.asarray(t_b)
 
     def _initial_skeleton(self, n: int = 100):

@@ -54,12 +54,21 @@ class HeatEquation(PDEBase):
         sol_type = spec.get("type", "sin_exp_decay")
 
         if sol_type == "sine_2d" and self.dimension == 2:
+            # Domain-consistent wave numbers 2*pi*k/L per axis so the product
+            # mode vanishes on the Dirichlet boundary AND solves the PDE.
+            # (The reference uses k*pi regardless of L — on its [0, pi]^2
+            # domain that is zero at neither boundary, making the benchmark
+            # ill-posed; reference: heat_equation.py:163-175.)
             A = float(spec.get("amplitude", 1.0))
             kx = float(spec.get("frequency_x", 2.0))
             ky = float(spec.get("frequency_y", 2.0))
-            decay = (kx * jnp.pi) ** 2 + (ky * jnp.pi) ** 2
+            wx = 2 * jnp.pi * kx / (self.domain[0][1] - self.domain[0][0])
+            wy = 2 * jnp.pi * ky / (self.domain[1][1] - self.domain[1][0])
+            decay = wx**2 + wy**2
             time_factor = jnp.exp(-self._alpha(coeffs) * decay * t)
-            space = jnp.sin(kx * jnp.pi * x[:, 0:1]) * jnp.sin(ky * jnp.pi * x[:, 1:2])
+            space = jnp.sin(wx * (x[:, 0:1] - self.domain[0][0])) * jnp.sin(
+                wy * (x[:, 1:2] - self.domain[1][0])
+            )
             return A * time_factor * space
 
         # sin_exp_decay / sine (reference: heat_equation.py:140-196)
@@ -108,11 +117,16 @@ class HeatEquation(PDEBase):
             wn = 2 * jnp.pi * k / L
             return lambda x, t: A * jnp.sin(wn * x[:, 0:1])
         if ic_type == "sine_2d":
+            # Matches the (well-posed) sine_2d exact solution at t=0.
             A = float(params.get("amplitude", 1.0))
             kx = float(params.get("frequency_x", 2.0))
             ky = float(params.get("frequency_y", 2.0))
+            wx = 2 * jnp.pi * kx / (self.domain[0][1] - self.domain[0][0])
+            wy = 2 * jnp.pi * ky / (self.domain[1][1] - self.domain[1][0])
             return lambda x, t: (
-                A * jnp.sin(kx * jnp.pi * x[:, 0:1]) * jnp.sin(ky * jnp.pi * x[:, 1:2])
+                A
+                * jnp.sin(wx * (x[:, 0:1] - self.domain[0][0]))
+                * jnp.sin(wy * (x[:, 1:2] - self.domain[1][0]))
             )
         return super()._create_initial_condition(params)
 
