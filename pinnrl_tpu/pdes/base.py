@@ -422,21 +422,31 @@ class PDEBase:
         N-D: for each axis and each face, the pinned coordinate sits on the
         face while the free spatial coordinates sweep a linspace (so every
         face of the box is actually enforced)."""
-        t_line = np.linspace(
-            self.time_domain[0], self.time_domain[1], n_time
-        ).astype(np.float32).reshape(-1, 1)
         blocks_x, blocks_t = [], []
+        rng = np.random.default_rng(0)  # fixed seed: static jit constants
         for axis in range(self.dimension):
             for face_val in self.domain[axis]:
                 block = np.empty((n_time, self.dimension), np.float32)
                 for d in range(self.dimension):
                     if d == axis:
                         block[:, d] = face_val
+                    elif self.dimension == 1:
+                        block[:, d] = face_val
                     else:
                         lo, hi = self.domain[d]
-                        block[:, d] = np.linspace(lo, hi, n_time)
+                        # Random sweep so (free coords x time) covers the whole
+                        # face, not just its diagonal.
+                        block[:, d] = rng.uniform(lo, hi, n_time)
                 blocks_x.append(block)
-                blocks_t.append(t_line)
+                if self.dimension == 1:
+                    t_face = np.linspace(
+                        self.time_domain[0], self.time_domain[1], n_time
+                    )
+                else:
+                    t_face = rng.uniform(
+                        self.time_domain[0], self.time_domain[1], n_time
+                    )
+                blocks_t.append(t_face.astype(np.float32).reshape(-1, 1))
         x_b = np.concatenate(blocks_x, axis=0)
         t_b = np.concatenate(blocks_t, axis=0)
         return jnp.asarray(x_b), jnp.asarray(t_b)
@@ -472,7 +482,14 @@ class PDEBase:
         residual = self.compute_residual(apply_fn, params, x, t, coeffs)
         residual_loss = self._residual_loss(residual, t)
 
-        x_b, t_b = self._boundary_skeleton()
+        n_b_cfg = (
+            int(getattr(self.training, "num_boundary_points", 0) or 0)
+            if self.training
+            else 0
+        )
+        x_b, t_b = self._boundary_skeleton(
+            n_time=max(n_b_cfg // (2 * self.dimension), 100)
+        )
         boundary_loss = jnp.zeros(())
         u_fn = lambda xx, tt: apply_fn(params, jnp.concatenate([xx, tt], axis=-1)).reshape(
             xx.shape[0], -1

@@ -219,8 +219,11 @@ class HeatEquation(PDEBase):
                     u_max = jax.vmap(u_scalar)(jnp.concatenate([c_max, t_axis], axis=1))
                     boundary_loss = boundary_loss + self._loss(u_min - u_max)
         else:
-            # Dirichlet via registered target closures on the static skeleton.
-            x_b, t_bb = self._boundary_skeleton()
+            # Dirichlet via registered target closures on the static skeleton,
+            # sized from num_boundary_points across the 2*dim faces.
+            x_b, t_bb = self._boundary_skeleton(
+                n_time=max(n_b // (2 * self.dimension), 100)
+            )
             for bc_type, bc_func in self.boundary_conditions.items():
                 if bc_type == "initial":
                     continue
