@@ -30,6 +30,11 @@ def main() -> None:
     cfg = load_config(pde_type="burgers", architecture="fourier")
     cfg.model.hidden_dims = [64, 64, 64]
     cfg.model.arch_params["mapping_size"] = 32
+    # Match the reference workload exactly: its base compute_loss evaluates
+    # BCs on 100 points per face and the IC on 100 points
+    # (reference: pde_base.py:1100-1140), independent of config.
+    cfg.training.num_boundary_points = 200
+    cfg.training.num_initial_points = 100
     pde = create_pde(cfg)
     model = PINNModel(cfg, seed=0)
     opt = optax.adam(2e-3)
