@@ -44,7 +44,7 @@ RECIPES: Dict[str, dict] = {
         training=dict(
             num_epochs=3000, num_collocation_points=40000, batch_size=8192,
             num_boundary_points=4096, num_initial_points=4096,
-            optimizer="adam_lbfgs", adam_lbfgs_switch_ratio=0.5,
+            optimizer="adam_lbfgs", adam_lbfgs_switch_ratio=0.4,
             learning_rate=2e-3, weight_decay=0.0,
         ),
     ),
