@@ -227,13 +227,17 @@ class PDEBase:
             return lambda x, t: jnp.full_like(x[:, 0:1], value)
 
         if bc_type == "neumann":
+            # Target for the OUTWARD NORMAL DERIVATIVE at the boundary; the
+            # derivative itself is computed structurally in ``_neumann_loss``.
             value = float(params.get("value", 0.0) or 0.0)
             return lambda x, t: jnp.full_like(x[:, 0:1], value)
 
         if bc_type == "periodic":
-            if self.dimension == 1:
-                return lambda x, t: jnp.sin(2 * jnp.pi * x[:, 0:1])
-            return lambda x, t: jnp.sin(2 * jnp.pi * jnp.sum(x, axis=1, keepdims=True))
+            # Periodicity is enforced structurally (opposite-face value and
+            # derivative matching in ``_periodic_loss``), not against a target
+            # function; the closure is a placeholder kept so the registered
+            # BC dict has an entry per configured type.
+            return lambda x, t: jnp.zeros_like(x[:, 0:1])
 
         if bc_type == "initial":
             return self._create_initial_condition(params)
@@ -264,15 +268,23 @@ class PDEBase:
             return lambda x, t: jnp.full_like(x[:, 0:1], value)
 
         if ic_type == "random":
+            # Deterministic random field as a FUNCTION OF COORDINATES: a fixed
+            # random Fourier series drawn once from the seed, so the target
+            # does not change with the evaluation point set (the reference's
+            # torch.rand_like draws fresh noise per call —
+            # reference: pde_base.py:538-545 — which is not a well-defined
+            # target function; this is the jit-pure fix).
             amplitude = float(params.get("amplitude", 0.1))
             seed = int(params.get("seed", 0))
+            n_modes = int(params.get("n_modes", 16))
+            k_w, k_p, k_a = jax.random.split(jax.random.PRNGKey(seed), 3)
+            W = jax.random.normal(k_w, (self.dimension, n_modes)) * 4.0
+            phase = jax.random.uniform(k_p, (n_modes,), maxval=2 * jnp.pi)
+            amp = jax.random.normal(k_a, (n_modes,)) / jnp.sqrt(n_modes)
 
             def random_ic(x, t):
-                # Deterministic per-point noise: hash the coordinates so the
-                # target is a fixed function (jit-pure, reproducible).
-                key = jax.random.PRNGKey(seed)
-                noise = jax.random.uniform(key, x[:, 0:1].shape, minval=-1.0, maxval=1.0)
-                return amplitude * noise
+                feats = jnp.sin(x[:, : self.dimension] @ W + phase)
+                return amplitude * (feats @ amp).reshape(-1, 1)
 
             return random_ic
 
@@ -414,10 +426,166 @@ class PDEBase:
             lw = dict(getattr(self.training, "loss_weights", {}) or {})
         return lw
 
+    # ------------------------------------------------------------------ #
+    # Fresh keyed BC/IC point sampling (per-step resampling; the reference
+    # re-creates the same deterministic linspace every step,
+    # pde_base.py:1100-1140 — fresh PRNG points avoid the net memorizing a
+    # fixed boundary set and drifting between its points)
+    # ------------------------------------------------------------------ #
+
+    def _bc_counts(self, n_colloc: int) -> Tuple[int, int]:
+        """(num_boundary_points, num_initial_points) honoring the config
+        exactly (no silent floors); sized from the collocation batch when
+        unconfigured."""
+        n_b = n_i = 0
+        if self.training is not None:
+            n_b = int(getattr(self.training, "num_boundary_points", 0) or 0)
+            n_i = int(getattr(self.training, "num_initial_points", 0) or 0)
+        if n_b <= 0:
+            n_b = max(n_colloc // 10, 16)
+        if n_i <= 0:
+            n_i = max(n_colloc // 5, 16)
+        return n_b, n_i
+
+    def _space_bounds(self):
+        los = jnp.array([lo for lo, _ in self.domain], jnp.float32)
+        his = jnp.array([hi for _, hi in self.domain], jnp.float32)
+        return los, his
+
+    def _sample_boundary_time(self, key: jax.Array, n: int) -> jax.Array:
+        """Boundary time coordinates; uniform by default (heat overrides with
+        an early-time-stratified draw)."""
+        lo, hi = self.time_domain
+        return jax.random.uniform(key, (n, 1), minval=lo, maxval=hi)
+
+    def _sample_face(self, key: jax.Array, n: int, axis: int, face_val: float) -> jax.Array:
+        """n fresh points on one domain face: pinned coordinate at the face
+        value, free coordinates uniform over their ranges."""
+        los, his = self._space_bounds()
+        x = jax.random.uniform(key, (n, self.dimension), minval=los, maxval=his)
+        return x.at[:, axis].set(face_val)
+
+    def _sample_boundary_points(self, key: jax.Array, n: int):
+        """Fresh boundary points covering every face of the box, ``n`` split
+        evenly across the ``2*dim`` faces."""
+        per_face = max(n // (2 * self.dimension), 1)
+        xs, ts = [], []
+        for axis in range(self.dimension):
+            for face_val in self.domain[axis]:
+                key, k_x, k_t = jax.random.split(key, 3)
+                xs.append(self._sample_face(k_x, per_face, axis, face_val))
+                ts.append(self._sample_boundary_time(k_t, per_face))
+        return jnp.concatenate(xs, axis=0), jnp.concatenate(ts, axis=0)
+
+    def _sample_initial_points(self, key: jax.Array, n: int):
+        """Fresh spatial points at t=0, uniform over the domain."""
+        los, his = self._space_bounds()
+        x = jax.random.uniform(key, (n, self.dimension), minval=los, maxval=his)
+        return x, jnp.zeros((n, 1), jnp.float32)
+
+    # ------------------------------------------------------------------ #
+    # Structural BC losses
+    # ------------------------------------------------------------------ #
+
+    def _periodic_loss(self, u_scalar: PointFn, key: jax.Array, n: int) -> jax.Array:
+        """True periodicity: opposite-face VALUE and first-DERIVATIVE matching
+        per axis (the reference's heat override does this in 1D,
+        heat_equation.py:420-445; the generic base gets the same treatment so
+        KdV/Burgers/convection with periodic configs train against actual
+        periodicity, not a proxy target)."""
+        from pinnrl_tpu.ops.derivatives import directional_derivative
+
+        per_axis = max(n // (2 * self.dimension), 1)
+        los, his = self._space_bounds()
+        loss = jnp.zeros(())
+        for axis in range(self.dimension):
+            key, k_free, k_t = jax.random.split(key, 3)
+            free = jax.random.uniform(
+                k_free, (per_axis, self.dimension), minval=los, maxval=his
+            )
+            t_ax = self._sample_boundary_time(k_t, per_axis)
+            lo_ax, hi_ax = self.domain[axis]
+            z_lo = jnp.concatenate([free.at[:, axis].set(lo_ax), t_ax], axis=1)
+            z_hi = jnp.concatenate([free.at[:, axis].set(hi_ax), t_ax], axis=1)
+            u_lo = jax.vmap(u_scalar)(z_lo)
+            u_hi = jax.vmap(u_scalar)(z_hi)
+            loss = loss + self._loss(u_lo - u_hi)
+            du = lambda zz, _ax=axis: directional_derivative(u_scalar, zz, _ax, 1)[0]
+            loss = loss + self._loss(jax.vmap(du)(z_lo) - jax.vmap(du)(z_hi))
+        return loss
+
+    def _neumann_loss(
+        self, u_scalar: PointFn, bc_func: Callable, key: jax.Array, n: int
+    ) -> jax.Array:
+        """Neumann BC: OUTWARD NORMAL derivative matched to the target (the
+        reference value-matches instead — pde_base.py:510-517; a Neumann
+        condition constrains du/dn, so that is what enters the loss)."""
+        from pinnrl_tpu.ops.derivatives import directional_derivative
+
+        per_face = max(n // (2 * self.dimension), 1)
+        loss = jnp.zeros(())
+        for axis in range(self.dimension):
+            for i, face_val in enumerate(self.domain[axis]):
+                key, k_x, k_t = jax.random.split(key, 3)
+                x_f = self._sample_face(k_x, per_face, axis, face_val)
+                t_f = self._sample_boundary_time(k_t, per_face)
+                z = jnp.concatenate([x_f, t_f], axis=1)
+                sign = -1.0 if i == 0 else 1.0  # outward normal direction
+                du = jax.vmap(
+                    lambda zz, _ax=axis: directional_derivative(u_scalar, zz, _ax, 1)[0]
+                )(z).reshape(-1, 1)
+                loss = loss + self._loss(sign * du - bc_func(x_f, t_f))
+        return loss
+
+    def _boundary_loss(
+        self, apply_fn: Callable, params, key: jax.Array, n_b: int
+    ) -> jax.Array:
+        """Assemble all registered (non-initial) boundary conditions on fresh
+        keyed points, dispatching periodic/Neumann to their structural forms."""
+        u_scalar = self._scalar_u(apply_fn, params)
+        loss = jnp.zeros(())
+        for bc_type, bc_func in self.boundary_conditions.items():
+            if bc_type == "initial":
+                continue
+            key, k_bc = jax.random.split(key)
+            if bc_type == "periodic":
+                loss = loss + self._periodic_loss(u_scalar, k_bc, n_b)
+            elif bc_type == "neumann":
+                loss = loss + self._neumann_loss(u_scalar, bc_func, k_bc, n_b)
+            else:
+                x_b, t_b = self._sample_boundary_points(k_bc, n_b)
+                u_b = apply_fn(params, jnp.concatenate([x_b, t_b], axis=-1)).reshape(
+                    x_b.shape[0], -1
+                )[:, 0:1]
+                loss = loss + self._loss(u_b - bc_func(x_b, t_b))
+        return loss
+
+    def _fd_smoothness(self, apply_fn: Callable, params, x: jax.Array, t: jax.Array):
+        """Finite-difference gradient-magnitude regularizer, assembled
+        generically for every PDE (reference computes it only in the heat
+        override, heat_equation.py:625-650, and stubs the generic path)."""
+        eps = 1e-4
+        u_fn = lambda xx: apply_fn(params, jnp.concatenate([xx, t], axis=-1)).reshape(
+            xx.shape[0], -1
+        )[:, 0:1]
+        u_c = u_fn(x)
+        loss = jnp.zeros(())
+        for d in range(self.dimension):
+            lo, hi = self.domain[d]
+            x_p = x.at[:, d].set(jnp.clip(x[:, d] + eps, lo, hi))
+            x_m = x.at[:, d].set(jnp.clip(x[:, d] - eps, lo, hi))
+            du_f = (u_fn(x_p) - u_c) / eps
+            du_b = (u_c - u_fn(x_m)) / eps
+            loss = loss + jnp.mean(jnp.abs(du_f)) + jnp.mean(jnp.abs(du_b))
+        return loss
+
     def _boundary_skeleton(self, n_time: int = 100):
         """Static boundary evaluation points: every domain face x a time
         linspace (reference: pde_base.py:1100-1125). Precomputed with numpy so
         it folds to constants under jit.
+
+        DEPRECATED in the loss path (fresh keyed sampling replaced it); kept
+        for validation grids and tests.
 
         N-D: for each axis and each face, the pinned coordinate sits on the
         face while the free spatial coordinates sweep a linspace (so every
@@ -476,39 +644,30 @@ class PDEBase:
     ) -> Dict[str, jax.Array]:
         """Assemble all loss components (reference: pde_base.py:1086-1235).
 
-        Fully jittable: boundary/initial evaluation points are static
-        constants; mode/weight gating happens at trace time.
+        Fully jittable: BC/IC evaluation points are sampled fresh from the
+        PRNG ``key`` every call (static shapes from the configured counts),
+        so a multi-epoch run never trains against a memorized point set.
         """
+        key = key if key is not None else jax.random.PRNGKey(0)
+        k_b, k_i = jax.random.split(jax.random.fold_in(key, 0xB0), 2)
         residual = self.compute_residual(apply_fn, params, x, t, coeffs)
         residual_loss = self._residual_loss(residual, t)
 
-        n_b_cfg = (
-            int(getattr(self.training, "num_boundary_points", 0) or 0)
-            if self.training
-            else 0
-        )
-        x_b, t_b = self._boundary_skeleton(
-            n_time=max(n_b_cfg // (2 * self.dimension), 100)
-        )
-        boundary_loss = jnp.zeros(())
-        u_fn = lambda xx, tt: apply_fn(params, jnp.concatenate([xx, tt], axis=-1)).reshape(
-            xx.shape[0], -1
-        )[:, 0:1]
-        for bc_type, bc_func in self.boundary_conditions.items():
-            if bc_type == "initial":
-                continue
-            u_boundary = u_fn(x_b, t_b)
-            u_target = bc_func(x_b, t_b)
-            boundary_loss = boundary_loss + self._loss(u_boundary - u_target)
+        n_b, n_i = self._bc_counts(x.shape[0])
+        boundary_loss = self._boundary_loss(apply_fn, params, k_b, n_b)
 
-        x_i, t_i = self._initial_skeleton()
-        u_initial = u_fn(x_i, t_i)
+        x_i, t_i = self._sample_initial_points(k_i, n_i)
+        u_initial = apply_fn(params, jnp.concatenate([x_i, t_i], axis=-1)).reshape(
+            x_i.shape[0], -1
+        )[:, 0:1]
         ic_fn = self.boundary_conditions.get("initial")
         u_target_i = ic_fn(x_i, t_i) if ic_fn is not None else jnp.zeros_like(u_initial)
         initial_loss = self._loss(u_initial - u_target_i)
 
         data_loss = self._compute_data_loss(apply_fn, params)
         smoothness_loss = jnp.zeros(())
+        if float(self._loss_weights().get("smoothness", 0.0)) > 0:
+            smoothness_loss = self._fd_smoothness(apply_fn, params, x, t)
 
         return self._assemble_total(
             residual_loss, boundary_loss, initial_loss, smoothness_loss, data_loss

@@ -16,7 +16,6 @@ from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from pinnrl_tpu.ops.derivatives import directional_derivative, laplacian
 from pinnrl_tpu.pdes.base import Coeffs, PDEBase, PointFn, register_pde
@@ -151,142 +150,44 @@ class HeatEquation(PDEBase):
     # Loss override: true periodic BCs + stratified time + FD smoothness
     # ------------------------------------------------------------------ #
 
-    def _stratified_time(self, n: int) -> jnp.ndarray:
-        """25% of boundary times in the first 1% of the horizon
-        (reference: heat_equation.py:406-418)."""
-        t_max = self.time_domain[1]
-        t_early = t_max * 0.01
+    def _sample_boundary_time(self, key, n: int) -> jnp.ndarray:
+        """Time-stratified boundary draw: 25% of boundary times in the first
+        1% of the horizon (reference: heat_equation.py:406-418), fresh from
+        the PRNG each step."""
+        t0, t_max = self.time_domain
+        t_early = t0 + (t_max - t0) * 0.01
         n_early = max(n // 4, 1)
-        n_late = n - n_early
-        t = np.concatenate(
-            [np.linspace(0.0, t_early, n_early), np.linspace(t_early, t_max, n_late)]
-        ).astype(np.float32)
-        return jnp.asarray(t).reshape(-1, 1)
+        n_late = max(n - n_early, 1)
+        k_e, k_l = jax.random.split(key)
+        early = jax.random.uniform(k_e, (n_early, 1), minval=t0, maxval=t_early)
+        late = jax.random.uniform(k_l, (n_late, 1), minval=t_early, maxval=t_max)
+        return jnp.concatenate([early, late], axis=0)[:n]
+
+    def _sample_initial_points(self, key, n: int):
+        """Edge-concentrated IC layout in 1D: 25% near each boundary, 50%
+        interior (reference: heat_equation.py:488-535); uniform in N-D."""
+        if self.dimension != 1:
+            return super()._sample_initial_points(key, n)
+        x_min, x_max = self.domain[0]
+        edge = (x_max - x_min) * 0.1
+        n_q = max(n // 4, 1)
+        n_h = max(n - 2 * n_q, 1)
+        k1, k2, k3 = jax.random.split(key, 3)
+        x_i = jnp.concatenate(
+            [
+                jax.random.uniform(k1, (n_q, 1), minval=x_min, maxval=x_min + edge),
+                jax.random.uniform(k2, (n_h, 1), minval=x_min + edge, maxval=x_max - edge),
+                jax.random.uniform(k3, (n_q, 1), minval=x_max - edge, maxval=x_max),
+            ],
+            axis=0,
+        )[:n]
+        return x_i, jnp.zeros((x_i.shape[0], 1), jnp.float32)
 
     def compute_loss(self, apply_fn, params, x, t, coeffs=None, key=None):
-        residual = self.compute_residual(apply_fn, params, x, t, coeffs)
-        residual_loss = self._residual_loss(residual, t)
-
-        n_colloc = x.shape[0]
-        if self.training is not None:
-            n_b = int(getattr(self.training, "num_boundary_points", n_colloc // 10))
-            n_i = int(getattr(self.training, "num_initial_points", n_colloc // 5))
-        else:
-            n_b = max(n_colloc // 10, 10)
-            n_i = max(n_colloc // 5, 10)
-
-        u_scalar = self._scalar_u(apply_fn, params)
-        t_b = self._stratified_time(n_b)
-        boundary_loss = jnp.zeros(())
-
-        if "periodic" in self.boundary_conditions or (
-            self.settings.boundary_conditions or {}
-        ).get("periodic") is not None:
-            if self.dimension == 1:
-                # Value + first-derivative match at the endpoints
-                # (reference: heat_equation.py:420-445).
-                x_lo, x_hi = self.domain[0]
-                z_lo = jnp.concatenate([jnp.full_like(t_b, x_lo), t_b], axis=1)
-                z_hi = jnp.concatenate([jnp.full_like(t_b, x_hi), t_b], axis=1)
-                u_lo = jax.vmap(u_scalar)(z_lo)
-                u_hi = jax.vmap(u_scalar)(z_hi)
-                du_lo = jax.vmap(lambda zz: directional_derivative(u_scalar, zz, 0, 1)[0])(z_lo)
-                du_hi = jax.vmap(lambda zz: directional_derivative(u_scalar, zz, 0, 1)[0])(z_hi)
-                boundary_loss = boundary_loss + self._loss(u_lo - u_hi)
-                boundary_loss = boundary_loss + self._loss(du_lo - du_hi)
-            else:
-                # Per-axis value periodicity with random free coords
-                # (reference: heat_equation.py:446-473).
-                key = key if key is not None else jax.random.PRNGKey(0)
-                per_axis = max(n_b // (2 * self.dimension), 1)
-                for axis in range(self.dimension):
-                    key, k_free, k_t = jax.random.split(key, 3)
-                    los = jnp.array([lo for lo, _ in self.domain])
-                    his = jnp.array([hi for _, hi in self.domain])
-                    free = jax.random.uniform(
-                        k_free, (per_axis, self.dimension), minval=los, maxval=his
-                    )
-                    t_axis = jax.random.uniform(
-                        k_t,
-                        (per_axis, 1),
-                        minval=self.time_domain[0],
-                        maxval=self.time_domain[1],
-                    )
-                    lo_ax, hi_ax = self.domain[axis]
-                    c_min = free.at[:, axis].set(lo_ax)
-                    c_max = free.at[:, axis].set(hi_ax)
-                    u_min = jax.vmap(u_scalar)(jnp.concatenate([c_min, t_axis], axis=1))
-                    u_max = jax.vmap(u_scalar)(jnp.concatenate([c_max, t_axis], axis=1))
-                    boundary_loss = boundary_loss + self._loss(u_min - u_max)
-        else:
-            # Dirichlet via registered target closures on the static skeleton,
-            # sized from num_boundary_points across the 2*dim faces.
-            x_b, t_bb = self._boundary_skeleton(
-                n_time=max(n_b // (2 * self.dimension), 100)
-            )
-            for bc_type, bc_func in self.boundary_conditions.items():
-                if bc_type == "initial":
-                    continue
-                u_b = apply_fn(params, jnp.concatenate([x_b, t_bb], axis=-1)).reshape(
-                    x_b.shape[0], -1
-                )[:, 0:1]
-                boundary_loss = boundary_loss + self._loss(u_b - bc_func(x_b, t_bb))
-
-        # Initial condition: boundary-concentrated 1D layout
-        # (reference: heat_equation.py:488-535 — 25% near each edge, 50% interior).
-        if self.dimension == 1:
-            x_min, x_max = self.domain[0]
-            edge = (x_max - x_min) * 0.1
-            n_q = max(n_i // 4, 1)
-            n_h = max(n_i // 2, 1)
-            x_i = np.concatenate(
-                [
-                    np.linspace(x_min, x_min + edge, n_q),
-                    np.linspace(x_min + edge, x_max - edge, n_h),
-                    np.linspace(x_max - edge, x_max, n_q),
-                ]
-            ).astype(np.float32).reshape(-1, 1)
-            x_i = jnp.asarray(x_i)
-        else:
-            key = key if key is not None else jax.random.PRNGKey(1)
-            key, k_i = jax.random.split(key)
-            los = jnp.array([lo for lo, _ in self.domain])
-            his = jnp.array([hi for _, hi in self.domain])
-            x_i = jax.random.uniform(k_i, (n_i, self.dimension), minval=los, maxval=his)
-        t_i = jnp.zeros((x_i.shape[0], 1))
-        u_i = apply_fn(params, jnp.concatenate([x_i, t_i], axis=-1)).reshape(
-            x_i.shape[0], -1
-        )[:, 0:1]
-        ic_fn = self.boundary_conditions.get("initial")
-        target = ic_fn(x_i, t_i) if ic_fn is not None else jnp.zeros_like(u_i)
-        initial_loss = self._loss(u_i - target)
-
-        # FD smoothness regularizer (reference: heat_equation.py:625-650),
-        # active only when weighted.
-        smoothness_loss = jnp.zeros(())
-        if float(self._loss_weights().get("smoothness", 0.0)) > 0:
-            smoothness_loss = self._fd_smoothness(apply_fn, params, x, t)
-
-        data_loss = self._compute_data_loss(apply_fn, params)
-        return self._assemble_total(
-            residual_loss, boundary_loss, initial_loss, smoothness_loss, data_loss
-        )
-
-    def _fd_smoothness(self, apply_fn, params, x, t):
-        eps = 1e-4
-        u_fn = lambda xx: apply_fn(params, jnp.concatenate([xx, t], axis=-1)).reshape(
-            xx.shape[0], -1
-        )[:, 0:1]
-        u_c = u_fn(x)
-        loss = jnp.zeros(())
-        for d in range(self.dimension):
-            lo, hi = self.domain[d]
-            x_p = x.at[:, d].set(jnp.clip(x[:, d] + eps, lo, hi))
-            x_m = x.at[:, d].set(jnp.clip(x[:, d] - eps, lo, hi))
-            du_f = (u_fn(x_p) - u_c) / eps
-            du_b = (u_c - u_fn(x_m)) / eps
-            loss = loss + jnp.mean(jnp.abs(du_f)) + jnp.mean(jnp.abs(du_b))
-        return loss
+        """Base assembly (fresh keyed BC/IC points, structural periodic BCs,
+        FD smoothness) with heat's stratified time and edge-concentrated IC
+        layouts supplied via the sampling hooks above."""
+        return super().compute_loss(apply_fn, params, x, t, coeffs=coeffs, key=key)
 
     # ------------------------------------------------------------------ #
 

@@ -77,7 +77,9 @@ class WaveEquation(PDEBase):
         from pinnrl_tpu.ops.derivatives import directional_derivative
 
         c = self._c(coeffs)
-        x_i, t_i = self._initial_skeleton()
+        key = key if key is not None else jax.random.PRNGKey(0)
+        _, n_i = self._bc_counts(x.shape[0])
+        x_i, t_i = self._sample_initial_points(jax.random.fold_in(key, 0x1C), n_i)
         u = self._scalar_u(apply_fn, params)
         z_i = jnp.concatenate([x_i, t_i], axis=-1)
         u_t0 = jax.vmap(
