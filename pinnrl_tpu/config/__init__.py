@@ -156,6 +156,12 @@ class TrainingConfig(_DictAccess):
     # earlier-time residual), so the solution is learned front-to-back.
     # 0.0 disables. New capability beyond the reference.
     causal_eps: float = 0.0
+    # Dtype for loss/residual evaluation during the (deterministic, full
+    # batch) L-BFGS phase. "float64" polishes past the f32 noise floor of
+    # high-order derivatives (3rd-order KdV, 4th-order Cahn-Hilliard);
+    # requires jax x64 (the trainer enables it at the phase switch). New
+    # capability beyond the reference.
+    residual_dtype: str = "float32"
     scheduler_type: str = "cosine"
     loss_weights: Dict[str, float] = field(
         default_factory=lambda: {
@@ -190,6 +196,11 @@ class TrainingConfig(_DictAccess):
             raise ValueError(
                 f"training.collocation_distribution must be one of {VALID_STRATEGIES}, "
                 f"got {self.collocation_distribution!r}"
+            )
+        if self.residual_dtype not in ("float32", "float64"):
+            raise ValueError(
+                "training.residual_dtype must be float32 or float64, "
+                f"got {self.residual_dtype!r}"
             )
         # Normalize legacy "pde" key to "residual" (reference: config/__init__.py:523-527).
         if "pde" in self.loss_weights and "residual" not in self.loss_weights:
@@ -399,6 +410,43 @@ class Config(_DictAccess):
         self.device = self._resolve_device(device or raw.get("device", "tpu"))
         self._validate()
 
+    @classmethod
+    def from_snapshot(cls, d: Dict[str, Any]) -> "Config":
+        """Rebuild a Config from a ``to_dict()`` snapshot — the config.yaml
+        each experiment dir saves. This lets the dashboard reconstruct the
+        trained model + PDE exactly, with no state-dict shape-inference hack
+        (the reference infers hyperparams from tensor shapes,
+        reference: dashboard.py:2428-2501)."""
+        self = cls.__new__(cls)
+        self.raw = copy.deepcopy(d)
+        self.pde_type = d.get("pde_type", "heat")
+        if self.pde_type not in VALID_PDES:
+            raise ValueError(f"Unknown pde_type {self.pde_type!r}; valid: {VALID_PDES}")
+
+        pde_fields = {f.name for f in dataclasses.fields(PDESettings)}
+        pde_kwargs = {k: v for k, v in (d.get("pde") or {}).items() if k in pde_fields}
+        if "domain" in pde_kwargs:
+            pde_kwargs["domain"] = _normalize_domain(pde_kwargs["domain"])
+        self.pde = PDESettings(**pde_kwargs)
+
+        model_fields = {f.name for f in dataclasses.fields(ModelConfig)}
+        model_kwargs = {
+            k: v for k, v in (d.get("model") or {}).items() if k in model_fields
+        }
+        # Snapshot hidden_dims are authoritative — stop __post_init__ from
+        # re-deriving them out of arch_params.hidden_dim.
+        if "hidden_dims" in model_kwargs:
+            model_kwargs.setdefault("arch_params", {})["_hidden_dims_explicit"] = True
+        self.model = ModelConfig(**model_kwargs)
+        self.training = self._build_training(dict(d.get("training") or {}))
+        self.rl = _build_simple(RLConfig, d.get("rl", {}))
+        self.evaluation = _build_simple(EvaluationConfig, d.get("evaluation", {}))
+        self.logging = _build_simple(LoggingConfig, d.get("logging", {}))
+        self.paths = _build_simple(PathsConfig, d.get("paths", {}))
+        self.device = self._resolve_device(d.get("device", "tpu"))
+        self._validate()
+        return self
+
     @staticmethod
     def _build_training(block: Dict[str, Any]) -> TrainingConfig:
         block = dict(block)
@@ -409,9 +457,11 @@ class Config(_DictAccess):
         sched_type = block.get("scheduler_type", "cosine")
         reduce_lr = block.pop("reduce_lr_params", {}) or {}
         cosine = block.pop("cosine_params", {}) or {}
+        # A to_dict() snapshot nests the scheduler under "lr_scheduler".
+        sched_block = block.pop("lr_scheduler", {}) or {}
         sched = _build_simple(
             LearningRateSchedulerConfig,
-            {"scheduler_type": sched_type, **reduce_lr, **cosine},
+            {"scheduler_type": sched_type, **sched_block, **reduce_lr, **cosine},
         )
         fields = {f.name for f in dataclasses.fields(TrainingConfig)}
         kwargs = {k: v for k, v in block.items() if k in fields}

@@ -11,3 +11,4 @@ to earn its place (see tests/test_kernels.py and bench comments).
 
 from pinnrl_tpu.ops.kernels.fourier_feats import fourier_features  # noqa: F401
 from pinnrl_tpu.ops.kernels.mlp import fused_mlp_score  # noqa: F401
+from pinnrl_tpu.ops.kernels.siren import siren_layer  # noqa: F401

@@ -22,7 +22,6 @@ Two agents are provided for reference parity:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
@@ -148,8 +147,9 @@ class RLAgent:
         return jnp.where(explore, r, q)
 
     def score_fn(self, state: RLAgentState, key: jax.Array):
-        """Adapter for ``sample_adaptive``'s grid-scoring hook."""
-        return partial(self.select_action, state)  # caller binds key via closure
+        """Adapter matching ``sample_adaptive``'s ``score_fn(grid)`` hook:
+        returns a closure scoring a grid with this state's policy + epsilon."""
+        return lambda grid: self.select_action(state, grid, key)
 
     def compute_reward(
         self,
@@ -158,7 +158,18 @@ class RLAgent:
         initial_loss,
         exploration_bonus=0.0,
     ):
-        """reward = -sum(w_i * loss_i) + w_explore * bonus (reference: rl_agent.py:251-276)."""
+        """reward = -sum(w_i * loss_i) + w_explore * bonus
+        (reference: rl_agent.py:251-276).
+
+        Elementwise-safe: the trainer passes per-point |residual| as
+        ``residual_loss`` and the scalar boundary/initial losses, so each
+        transition's reward carries the point's own residual plus a global
+        physics-misfit offset. Sampling draws points with probability
+        proportional to |Q| — early in training the large BC/IC offset
+        flattens the draw (exploration), and as those losses vanish the
+        distribution sharpens onto residual peaks. ``reward_weights`` from
+        the RL config scale each term, making them load-bearing.
+        """
         w = self.reward_weights
         return (
             -w["residual"] * residual_loss
@@ -184,11 +195,17 @@ class RLAgent:
         n = s.shape[0]
         cap = self.memory_size
         idx = (state.ptr + jnp.arange(n)) % cap
+        # astype: transitions may arrive in f64 during an f64 polish phase;
+        # the buffer stays in its allocated dtype.
         return state.replace(
-            buf_state=state.buf_state.at[idx].set(s),
-            buf_reward=state.buf_reward.at[idx].set(jnp.broadcast_to(r, (n,))),
-            buf_next=state.buf_next.at[idx].set(s_next),
-            buf_done=state.buf_done.at[idx].set(jnp.broadcast_to(done, (n,)).astype(jnp.float32)),
+            buf_state=state.buf_state.at[idx].set(s.astype(state.buf_state.dtype)),
+            buf_reward=state.buf_reward.at[idx].set(
+                jnp.broadcast_to(r, (n,)).astype(state.buf_reward.dtype)
+            ),
+            buf_next=state.buf_next.at[idx].set(s_next.astype(state.buf_next.dtype)),
+            buf_done=state.buf_done.at[idx].set(
+                jnp.broadcast_to(done, (n,)).astype(state.buf_done.dtype)
+            ),
             ptr=(state.ptr + n) % cap,
             size=jnp.minimum(state.size + n, cap),
         )
@@ -226,7 +243,20 @@ class RLAgent:
         key: jax.Array,
     ) -> RLAgentState:
         """push -> target sync every ``target_update`` steps -> train when the
-        buffer holds >= batch_size -> epsilon decay (reference: rl_agent.py:278-317)."""
+        buffer holds >= batch_size (reference: rl_agent.py:278-317).
+
+        Epsilon does NOT decay here: the trainer decays it once per EPOCH via
+        ``update_epsilon`` so the exploration schedule tracks the training
+        horizon instead of collapsing after ~920 scan steps regardless of it.
+
+        On transitions: the trainer pushes bandit-style ``done=1`` per-point
+        transitions, under which the TD target reduces to the reward and
+        Q(s) -> E[reward(s)] with no bootstrapping. The target network is
+        still synced and used in ``_td_loss`` — it is load-bearing whenever a
+        caller pushes ``done=0`` sequential transitions (the reference's
+        episode formulation, rl_agent.py:278-317), and a deliberate no-op in
+        the bandit setting.
+        """
         state = self.push(state, s, reward, s_next, done)
         state = state.replace(
             steps=state.steps + 1,
@@ -238,14 +268,11 @@ class RLAgent:
                 lambda t, p: jnp.where(sync, p, t), state.target_params, state.policy_params
             )
         )
-        state = jax.lax.cond(
+        return jax.lax.cond(
             state.size >= self.batch_size,
             lambda st: self._train(st, key),
             lambda st: st,
             state,
-        )
-        return state.replace(
-            epsilon=jnp.maximum(self.epsilon_end, state.epsilon * self.epsilon_decay)
         )
 
     def update_epsilon(self, state: RLAgentState) -> RLAgentState:

@@ -191,9 +191,9 @@ class PDETrainer:
             )
         if strategy == "adaptive" and self.rl_agent is not None:
             k_score, k_samp = jax.random.split(key)
-            score_fn = lambda grid: self.rl_agent.select_action(rl_state, grid, k_score)
             return self.pde.generate_collocation_points(
-                k_samp, n, "adaptive", score_fn=score_fn
+                k_samp, n, "adaptive",
+                score_fn=self.rl_agent.score_fn(rl_state, k_score),
             )
         return self.pde.generate_collocation_points(key, n, strategy)
 
@@ -203,6 +203,12 @@ class PDETrainer:
         aw_on = self.aw_enabled
         lrw = aw_on and self.adaptive_weights.strategy == "lrw"
         n_push = min(128, batch_size)  # per-step transitions pushed into the DQN buffer
+        # f64 polish: during the deterministic L-BFGS phase the residual (and
+        # the whole objective) can be evaluated in float64 to get past the
+        # f32 noise floor of 3rd/4th-order forward-mode derivatives (the KdV
+        # and Cahn-Hilliard accuracy ceiling). Params are cast at the phase
+        # switch in train(); here the sampled batch follows them.
+        f64 = lbfgs and self.tcfg.residual_dtype == "float64"
 
         def loss_total(params, x, t, key):
             losses = self._loss_components(params, x, t, key)
@@ -221,6 +227,8 @@ class PDETrainer:
             else:
                 key, k_samp, k_loss, k_rl = jax.random.split(state["key"], 4)
             x, t = self._sample(k_samp, batch_size, state["params"], state["rl"])
+            if f64:
+                x, t = x.astype(jnp.float64), t.astype(jnp.float64)
             if self.mesh is not None:
                 # Shard the collocation batch across the data axis; params
                 # stay replicated, so XLA emits the gradient psum over ICI.
@@ -296,18 +304,21 @@ class PDETrainer:
                     )
                 params = optax.apply_updates(state["params"], updates)
 
-            # --- RL agent update: per-point |residual| reward so the DQN
-            # learns the residual landscape it should concentrate on.
-            # Bandit-style transitions (done=1): each sampled point is its own
-            # state with reward |r| AT that point, so Q(s) -> E|residual(s)|
-            # with no bootstrapping mismatch. ---
+            # --- RL agent update: reference reward shaping
+            # (-sum w_i * loss_i, rl_agent.py:251-276) with the residual term
+            # evaluated PER POINT so the DQN learns the residual landscape it
+            # should concentrate on. Bandit-style transitions (done=1): each
+            # sampled point is its own state, Q(s) -> E[reward(s)] with no
+            # bootstrapping mismatch; sampling draws by |Q|. ---
             rl_state = state["rl"]
             if agent is not None:
                 pts = jnp.concatenate([x[:n_push], t[:n_push]], axis=-1)
                 res = self.pde.compute_residual(
                     self.model.apply, params["net"], x[:n_push], t[:n_push], params["coeffs"]
                 ).reshape(-1)
-                reward = jnp.abs(res)
+                reward = agent.compute_reward(
+                    jnp.abs(res), losses["boundary"], losses["initial"]
+                )
                 rl_state = agent.update(
                     rl_state, pts, reward, pts, jnp.ones(()), k_rl
                 )
@@ -335,6 +346,11 @@ class PDETrainer:
 
         def epoch_fn(state, _=None):
             state, metrics = jax.lax.scan(step, state, None, length=steps_per_epoch)
+            if agent is not None:
+                # Epsilon decays once per EPOCH so exploration anneals over
+                # the configured horizon (a per-step decay inside the scan
+                # hits epsilon_min after ~920 steps regardless of it).
+                state = {**state, "rl": agent.update_epsilon(state["rl"])}
             pts = metrics.pop("pts")[-1]  # last step's sampled points
             out = jax.tree_util.tree_map(lambda m: jnp.mean(m, axis=0), metrics)
             out["pts"] = pts
@@ -351,6 +367,30 @@ class PDETrainer:
         # computed inside the scan (params silently diverged); dropping
         # donation restores correctness at the cost of one extra state copy.
         return jax.jit(chunk_fn, static_argnums=1)
+
+    def _maybe_promote_f64(self, params):
+        """Cast the optimized pytree's floats to float64 for the L-BFGS phase
+        when ``training.residual_dtype == "float64"``. Enables jax x64 on the
+        fly (a config read at trace time, so already-compiled f32 programs
+        are unaffected; the phase's fresh jit traces in f64)."""
+        if self.tcfg.residual_dtype != "float64":
+            return params
+        jax.config.update("jax_enable_x64", True)
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float64)
+            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+            else a,
+            params,
+        )
+
+    @staticmethod
+    def _demote_f32(tree):
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32)
+            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.float64)
+            else a,
+            tree,
+        )
 
     # ------------------------------------------------------------------ #
     # Validation
@@ -395,13 +435,14 @@ class PDETrainer:
         steps_per_epoch = max(num_points // batch_size, 1)
 
         exp = Path(experiment_dir) if experiment_dir else None
+        self._fh = None
         if exp:
             exp.mkdir(parents=True, exist_ok=True)
             (exp / "visualizations").mkdir(exist_ok=True)
             (exp / ".running").touch()
             self._write_metadata(exp, status="running", num_epochs=num_epochs)
-            fh = logging.FileHandler(exp / "experiment.log")
-            logger.addHandler(fh)
+            self._fh = logging.FileHandler(exp / "experiment.log")
+            logger.addHandler(self._fh)
 
         key = jax.random.PRNGKey(seed)
         key, k_rl = jax.random.split(key)
@@ -416,6 +457,8 @@ class PDETrainer:
             optimizer, lbfgs_mode = lbfgs_opt, True
         else:
             optimizer, lbfgs_mode = adam_opt, False
+        if lbfgs_mode:
+            params = self._maybe_promote_f64(params)
 
         state = {
             "params": params,
@@ -462,10 +505,12 @@ class PDETrainer:
                     logger.info("Switching optimizer: adam -> lbfgs at epoch %d", epoch)
                     optimizer, lbfgs_mode = lbfgs_opt, True
                     steps_per_epoch = 1
+                    promoted = self._maybe_promote_f64(state["params"])
                     state = {
                         **state,
+                        "params": promoted,
                         "opt_state": jax.tree_util.tree_map(
-                            jnp.array, optimizer.init(state["params"])
+                            jnp.array, optimizer.init(promoted)
                         ),
                     }
                     epoch_fn = self._build_epoch_fn(optimizer, num_points, 1, True)
@@ -548,9 +593,18 @@ class PDETrainer:
             if exp:
                 (exp / ".running").unlink(missing_ok=True)
             raise
+        finally:
+            # Detach the per-experiment log handler (leaking one per train()
+            # call grows the module logger unboundedly across runs).
+            if self._fh is not None:
+                logger.removeHandler(self._fh)
+                self._fh.close()
+                self._fh = None
 
         wall = time.time() - start_time
-        self.model.params = state["params"]["net"]
+        # Keep the public model contract f32 (an f64 polish phase leaves the
+        # state in f64; _final_state retains full precision for validation).
+        self.model.params = self._demote_f32(state["params"]["net"])
         self.final_coeffs = {
             k: float(v) for k, v in state["params"]["coeffs"].items()
         }
@@ -657,6 +711,13 @@ class PDETrainer:
     # Experiment metadata
     # ------------------------------------------------------------------ #
 
+    def _num_model_parameters(self) -> int:
+        """Cached parameter count (static across a run; counting walks the
+        whole pytree, so doing it on every chunk write is wasted host time)."""
+        if not hasattr(self, "_n_params_cache"):
+            self._n_params_cache = self.model.count_parameters()
+        return self._n_params_cache
+
     def _write_metadata(
         self,
         exp: Path,
@@ -692,7 +753,7 @@ class PDETrainer:
                 "trainable_parameters": self.pde.trainable_parameters,
                 "true_parameters": self.pde.true_parameters,
                 "timestamp": datetime.now().isoformat(),
-                "num_model_parameters": self.model.count_parameters(),
+                "num_model_parameters": self._num_model_parameters(),
             }
         )
         if coeffs:

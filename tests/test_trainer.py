@@ -4,6 +4,7 @@ test_trainer.py, test_trainer_optimizers.py, test_heat_2d_training.py)."""
 import json
 from pathlib import Path
 
+import jax
 import numpy as np
 import pytest
 
@@ -136,3 +137,62 @@ def test_plateau_scheduler_runs():
     cfg = tiny_config(num_epochs=3, scheduler_type="reduce_lr")
     res = make_trainer(cfg).train()
     assert res["status"] == "completed"
+
+
+def test_rar_end_to_end_concentrates_and_trains():
+    """Trainer + RAR end-to-end (analog of reference
+    test_rar_sampling.py:74-148): residual_based strategy runs the full
+    trainer, stays finite, and records sampled points."""
+    cfg = tiny_config(collocation_distribution="residual_based", num_epochs=3)
+    trainer = make_trainer(cfg)
+    assert trainer.strategy == "residual_based"
+    res = trainer.train()
+    assert res["status"] == "completed"
+    assert np.isfinite(res["final_train_loss"])
+    assert len(trainer.points_history) >= 1
+    pts = trainer.points_history[-1]
+    assert pts.shape[1] == 2 and np.isfinite(pts).all()
+
+
+def test_rl_epsilon_decays_per_epoch():
+    """With the per-epoch schedule, epsilon after N epochs is
+    start * decay^N (not collapsed to epsilon_min by per-step decay)."""
+    cfg = tiny_config(num_epochs=4)
+    trainer = make_trainer(cfg, rl=True)
+    trainer.rl_agent.epsilon_decay = 0.9
+    res = trainer.train()
+    assert res["status"] == "completed"
+    eps = float(trainer._final_state["rl"].epsilon)
+    np.testing.assert_allclose(eps, 1.0 * 0.9**4, rtol=1e-5)
+
+
+def test_file_handler_released(tmp_path):
+    """train() must detach its per-experiment FileHandler (round-1 leak)."""
+    import logging
+
+    from pinnrl_tpu.training import trainer as trainer_mod
+
+    before = list(trainer_mod.logger.handlers)
+    t = make_trainer(tiny_config())
+    t.train(experiment_dir=str(tmp_path / "exp"))
+    assert trainer_mod.logger.handlers == before
+
+
+def test_f64_lbfgs_polish_runs():
+    """residual_dtype=float64 switches the L-BFGS phase to f64 and returns
+    f32 model params."""
+    import jax.numpy as jnp
+
+    cfg = tiny_config(
+        optimizer="adam_lbfgs", num_epochs=4, residual_dtype="float64"
+    )
+    cfg.training.adam_lbfgs_switch_ratio = 0.5
+    trainer = make_trainer(cfg)
+    res = trainer.train()
+    assert res["status"] == "completed"
+    assert np.isfinite(res["final_train_loss"])
+    # Final state keeps f64 precision; the public model contract is f32.
+    leaves = jax.tree_util.tree_leaves(trainer._final_state["params"]["net"])
+    assert any(leaf.dtype == jnp.float64 for leaf in leaves)
+    model_leaves = jax.tree_util.tree_leaves(trainer.model.params)
+    assert all(leaf.dtype == jnp.float32 for leaf in model_leaves)
