@@ -90,8 +90,11 @@ def main(argv=None) -> int:
     p_s.set_defaults(func=_sampling_command)
 
     p_c = sub.add_parser("convergence", help="rel-L2 vs exact with tuned recipes")
-    p_c.add_argument("--pde", choices=["heat", "wave", "burgers", "kdv", "all"],
-                     default="heat")
+    p_c.add_argument(
+        "--pde",
+        choices=["heat", "heat_2d", "wave", "burgers", "kdv", "all"],
+        default="heat",
+    )
     p_c.add_argument("--epochs", type=int, default=None, help="Override recipe epochs")
     p_c.add_argument("--seed", type=int, default=0)
     p_c.add_argument("--csv", default=None)

@@ -56,6 +56,9 @@ RECIPES: Dict[str, dict] = {
             num_boundary_points=4096, num_initial_points=4096,
             optimizer="adam_lbfgs", adam_lbfgs_switch_ratio=0.5,
             learning_rate=2e-3, weight_decay=0.0,
+            # f64 L-BFGS polish: the f32 noise floor of the 3rd-order
+            # forward-mode derivative is what capped KdV at ~1.6e-2.
+            residual_dtype="float64",
         ),
     ),
     "wave": dict(
@@ -71,15 +74,34 @@ RECIPES: Dict[str, dict] = {
         ),
     ),
     "burgers": dict(
-        # Burgers' reference "exact" (Cole-Hopf variant) is singular inside
-        # the domain (tan poles), so rel-L2 vs exact is reported but the
-        # meaningful burgers number is residual convergence + throughput.
+        # Genuine viscous-shock traveling wave (the reference's Cole-Hopf
+        # variant has tan-poles inside the domain and its "tanh" variant is
+        # not an exact solution — burgers.py documents both). The moving
+        # front is steep (width 4*nu/a = 0.08), the regime RAR/DQN sampling
+        # exists for.
+        arch="fourier",
+        model=dict(hidden_dims=[256, 256, 256], mapping_size=128, scale=2.0),
+        pde=dict(
+            parameters={"nu": 0.01},
+            exact_solution={"type": "traveling_wave", "amplitude": 0.5,
+                            "speed": 0.5, "center": -0.25},
+            initial_condition={"type": "traveling_wave"},
+        ),
+        training=dict(
+            num_epochs=3000, num_collocation_points=40000, batch_size=8192,
+            num_boundary_points=4096, num_initial_points=4096,
+            optimizer="adam_lbfgs", adam_lbfgs_switch_ratio=0.5,
+            learning_rate=2e-3, weight_decay=0.0,
+            collocation_distribution="residual_based",
+        ),
+    ),
+    "heat_2d": dict(
         arch="fourier",
         model=dict(hidden_dims=[256, 256, 256], mapping_size=128, scale=2.0),
         training=dict(
-            num_epochs=2000, num_collocation_points=20000, batch_size=8192,
-            num_boundary_points=4096, num_initial_points=4096,
-            optimizer="adam_lbfgs", adam_lbfgs_switch_ratio=0.6,
+            num_epochs=3000, num_collocation_points=40000, batch_size=8192,
+            num_boundary_points=8192, num_initial_points=8192,
+            optimizer="adam_lbfgs", adam_lbfgs_switch_ratio=0.5,
             learning_rate=2e-3, weight_decay=0.0,
         ),
     ),
@@ -93,6 +115,11 @@ def run_convergence(
 ) -> ConvergenceResult:
     recipe = RECIPES[pde_key]
     cfg = load_config(pde_type=pde_key, architecture=recipe["arch"])
+    for k, v in (recipe.get("pde") or {}).items():
+        if k == "parameters":
+            cfg.pde.parameters.update(v)
+        else:
+            setattr(cfg.pde, k, v)
     m = recipe["model"]
     cfg.model.hidden_dims = list(m.get("hidden_dims", cfg.model.hidden_dims))
     for k in ("mapping_size", "scale", "omega_0", "hidden_dim", "num_blocks"):

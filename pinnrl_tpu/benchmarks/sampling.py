@@ -65,8 +65,20 @@ def _evaluate(pde, model, params, x_grid, t_grid) -> Dict[str, float]:
 
 
 def _build_benchmark_model(pde_key: str, seed: int):
-    """Fresh Fourier MLP 64x3 with mapping size 32 (reference: sampling.py:105-119)."""
+    """Fresh Fourier MLP 64x3 with mapping size 32 (reference: sampling.py:105-119).
+
+    PDE posing follows the convergence recipes (e.g. Burgers gets the genuine
+    traveling-wave exact solution with a steep moving front — the regime
+    adaptive sampling exists for), so the rel-L2 comparison is meaningful.
+    """
+    from pinnrl_tpu.benchmarks.convergence import RECIPES
+
     cfg = load_config(pde_type=pde_key, architecture="fourier")
+    for k, v in (RECIPES.get(pde_key, {}).get("pde") or {}).items():
+        if k == "parameters":
+            cfg.pde.parameters.update(v)
+        else:
+            setattr(cfg.pde, k, v)
     cfg.model.hidden_dims = [64, 64, 64]
     cfg.model.arch_params["mapping_size"] = 32
     cfg.model.arch_params["scale"] = 2.0
@@ -113,16 +125,23 @@ def _train_one(
         x, t = sample(k_s, params, rl_st)
 
         def loss_fn(p):
-            return pde.compute_loss(model.apply, p, x, t, key=k_l)["total"]
+            losses = pde.compute_loss(model.apply, p, x, t, key=k_l)
+            return losses["total"], losses
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = opt.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
         if agent is not None:
             n = min(128, batch)
             res = pde.compute_residual(model.apply, params, x[:n], t[:n]).reshape(-1)
             pts = jnp.concatenate([x[:n], t[:n]], axis=-1)
-            rl_st = agent.update(rl_st, pts, jnp.abs(res), pts, jnp.zeros(()), k_rl)
+            reward = agent.compute_reward(
+                jnp.abs(res), losses["boundary"], losses["initial"]
+            )
+            # Bandit transitions (done=1) + one epsilon step per epoch
+            # (this harness runs one batch step per epoch).
+            rl_st = agent.update(rl_st, pts, reward, pts, jnp.ones(()), k_rl)
+            rl_st = agent.update_epsilon(rl_st)
         return params, opt_state, rl_st, key, loss
 
     key = jax.random.PRNGKey(seed)

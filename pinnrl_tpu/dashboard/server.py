@@ -96,6 +96,93 @@ def load_snapshot(exp_dir: Path) -> Optional[Dict[str, Any]]:
         return None
 
 
+_SOLUTION_CACHE: Dict[str, Dict[str, Any]] = {}
+
+
+def load_solution(exp_dir: Path, grid: int = 80, n_times: int = 9) -> Optional[Dict[str, Any]]:
+    """Solution explorer payload: exact-vs-predicted field at a ladder of
+    time slices, from the saved final model + config snapshot.
+
+    The reference rebuilds the model by inferring hyperparams from state-dict
+    tensor shapes (reference: dashboard.py:2428-2501, rendered at :2504-2667);
+    here the experiment's config.yaml snapshot restores it exactly.
+    """
+    cache_key = str(exp_dir)
+    cached = _SOLUTION_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+    cfg_path = exp_dir / "config.yaml"
+    model_path = exp_dir / "final_model.msgpack"
+    if not cfg_path.exists() or not model_path.exists():
+        return None
+    try:
+        import jax.numpy as jnp
+        import yaml
+
+        from pinnrl_tpu.config import Config
+        from pinnrl_tpu.models import PINNModel
+        from pinnrl_tpu.pdes import create_pde
+
+        cfg = Config.from_snapshot(yaml.safe_load(cfg_path.read_text()))
+        pde = create_pde(cfg)
+        model = PINNModel(cfg, seed=0)
+        model.load_state(str(model_path))
+
+        t0, t1 = pde.time_domain
+        times = np.linspace(t0, t1, n_times)
+        if pde.dimension == 1:
+            xs = np.linspace(pde.domain[0][0], pde.domain[0][1], grid)
+            x_flat = jnp.asarray(xs.reshape(-1, 1), jnp.float32)
+            u_pred, u_exact = [], []
+            for tv in times:
+                t_flat = jnp.full_like(x_flat, float(tv))
+                pred = model.apply(
+                    model.params, jnp.concatenate([x_flat, t_flat], axis=-1)
+                ).reshape(-1)
+                u_pred.append(np.asarray(pred).tolist())
+                ex = pde.exact_solution(x_flat, t_flat)
+                u_exact.append(None if ex is None else np.asarray(ex).reshape(-1).tolist())
+            payload = {
+                "dimension": 1,
+                "x": xs.tolist(),
+                "times": times.tolist(),
+                "u_pred": u_pred,
+                "u_exact": u_exact if any(e is not None for e in u_exact) else None,
+            }
+        else:
+            xs = np.linspace(pde.domain[0][0], pde.domain[0][1], grid)
+            ys = np.linspace(pde.domain[1][0], pde.domain[1][1], grid)
+            X, Y = np.meshgrid(xs, ys, indexing="ij")
+            x_flat = jnp.asarray(
+                np.stack([X.reshape(-1), Y.reshape(-1)], axis=-1), jnp.float32
+            )
+            u_pred, u_exact = [], []
+            for tv in times:
+                t_flat = jnp.full((x_flat.shape[0], 1), float(tv), jnp.float32)
+                pred = model.apply(
+                    model.params, jnp.concatenate([x_flat, t_flat], axis=-1)
+                ).reshape(x_flat.shape[0], -1)[:, 0]
+                u_pred.append(np.asarray(pred).reshape(grid, grid).tolist())
+                ex = pde.exact_solution(x_flat, t_flat)
+                u_exact.append(
+                    None if ex is None
+                    else np.asarray(ex).reshape(grid, grid).tolist()
+                )
+            payload = {
+                "dimension": 2,
+                "x": xs.tolist(),
+                "y": ys.tolist(),
+                "times": times.tolist(),
+                "u_pred": u_pred,
+                "u_exact": u_exact if any(e is not None for e in u_exact) else None,
+            }
+        _SOLUTION_CACHE[cache_key] = payload
+        return payload
+    except Exception:
+        logger.exception("solution explorer failed for %s", exp_dir)
+        return None
+
+
 def launch_trainer(params: Dict[str, Any], results_dir: Path) -> Dict[str, Any]:
     """Build a pinnrl-train command and spawn it detached
     (reference: dashboard.py:1642-1804)."""
@@ -110,7 +197,7 @@ def launch_trainer(params: Dict[str, Any], results_dir: Path) -> Dict[str, Any]:
         ("--optimizer", "optimizer"), ("--mode", "mode"),
         ("--loss-function", "loss_function"), ("--sampling", "sampling"),
         ("--dataset", "dataset"), ("--obs-points", "obs_points"),
-        ("--obs-noise", "obs_noise"),
+        ("--obs-noise", "obs_noise"), ("--obs-path", "obs_path"),
     ]:
         if params.get(key) not in (None, "", False):
             cmd += [flag, str(params[key])]
@@ -153,13 +240,24 @@ class _Handler(BaseHTTPRequestHandler):
         if path in ("/", "/index.html"):
             self._send(200, _APP_HTML.read_bytes(), "text/html; charset=utf-8")
         elif path == "/api/meta":
-            from pinnrl_tpu.config import VALID_ARCHITECTURES
+            import yaml
+
+            from pinnrl_tpu.config import VALID_ARCHITECTURES, _DEFAULT_YAML
             from pinnrl_tpu.datasets import WELL_REGISTRY
             from pinnrl_tpu.pdes import PDE_REGISTRY
+
+            # Per-PDE coefficient dict so the New Training form can render
+            # per-parameter initial-guess inputs (reference: dashboard.py:1876-1917).
+            raw = yaml.safe_load(Path(_DEFAULT_YAML).read_text()) or {}
+            pde_parameters = {
+                k: (v or {}).get("parameters", {})
+                for k, v in (raw.get("pde_configs") or {}).items()
+            }
 
             self._json(
                 {
                     "pdes": PDE_REGISTRY,
+                    "pde_parameters": pde_parameters,
                     "architectures": list(VALID_ARCHITECTURES),
                     "datasets": {
                         k: {
@@ -193,6 +291,9 @@ class _Handler(BaseHTTPRequestHandler):
                     self._json(snap if snap else {"error": "no snapshot"})
                 elif what == "metadata":
                     self._json(_read_json(exp / "metadata.json") or {})
+                elif what == "solution":
+                    sol = load_solution(exp)
+                    self._json(sol if sol else {"error": "no final model"})
                 elif what == "report":
                     # Downloadable self-contained HTML report
                     # (reference: dashboard.py:2091-2127).

@@ -58,7 +58,7 @@ _ROWS = [
     ),
     (
         "rayleigh_benard",
-        "2D thermal convection between hot and cold plates.",
+        "2D Rayleigh-Benard convection cell driven by a bottom-heated plate.",
         2, ("buoyancy", "pressure", "velocity_x", "velocity_y"),
         ((0.0, 4.0), (0.0, 1.0)), None, "fno", "data_only",
     ),
@@ -70,13 +70,13 @@ _ROWS = [
     ),
     (
         "rayleigh_taylor_instability",
-        "3D buoyancy-driven mixing of two density layers.",
+        "3D Rayleigh-Taylor instability: a heavy fluid fingering into a light one.",
         3, ("density", "pressure", "velocity_x", "velocity_y", "velocity_z"),
         _U3, None, "feedforward", "data_only",
     ),
     (
         "turbulent_radiative_layer_2D",
-        "2D radiatively cooling shear layer (astrophysical).",
+        "2D astrophysical mixing layer where turbulence competes with radiative cooling.",
         2, ("density", "pressure", "velocity_x", "velocity_y"),
         ((0.0, 1.0), (0.0, 0.5)), None, "fno", "data_only",
     ),

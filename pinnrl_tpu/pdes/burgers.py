@@ -64,6 +64,11 @@ class BurgersEquation(PDEBase):
                 sol = sol * one_dim(x[:, dim : dim + 1])
             return sol
         if sol_type == "tanh":
+            # Reference-parity form tanh((x - 0.5 - nu*t)/eps)
+            # (reference: burgers_equation.py:117-127). NOTE: this is NOT an
+            # exact Burgers solution for arbitrary (eps, nu) — its residual is
+            # O(1); kept for behavioral parity. For a genuine benchmark
+            # target use type "traveling_wave" below.
             eps = float(spec.get("epsilon", 0.1))
             if self.dimension == 1:
                 return jnp.tanh((x[:, 0:1] - 0.5 - nu * t) / eps)
@@ -71,10 +76,27 @@ class BurgersEquation(PDEBase):
             for dim in range(self.dimension):
                 sol = sol * jnp.tanh((x[:, dim : dim + 1] - 0.5 - nu * t) / eps)
             return sol
+        if sol_type == "traveling_wave":
+            # Genuine viscous-shock traveling wave:
+            #   u(x, t) = c - a * tanh(a * (x - x0 - c*t) / (2*nu))
+            # Exact for ANY amplitude a, speed c, center x0 (substitute into
+            # u_t + u u_x = nu u_xx: both sides reduce to the same sech^2
+            # profile). Front width ~ 4*nu/a, so small nu gives the steep
+            # moving shock the RL/RAR samplers are built for.
+            a = float(spec.get("amplitude", 0.5))
+            c = float(spec.get("speed", 0.5))
+            x0 = float(spec.get("center", 0.0))
+            return c - a * jnp.tanh(a * (x[:, 0:1] - x0 - c * t) / (2.0 * nu))
         raise ValueError(f"Unsupported exact solution type {sol_type!r}")
 
     def _create_initial_condition(self, params: Dict) -> Callable:
         ic_type = params.get("type", "sine")
+        if ic_type == "traveling_wave" or (
+            (self.settings.exact_solution or {}).get("type") == "traveling_wave"
+        ):
+            # IC = the exact traveling wave at t=0, so the benchmark is
+            # well-posed (mirrors the wave equation's exact-trace IC fix).
+            return lambda x, t: self.exact_solution(x, jnp.zeros_like(x[:, 0:1]))
         if ic_type == "sine":
             A = float(params.get("amplitude", -1.0))
             k = float(params.get("frequency", 1.0))
@@ -87,3 +109,13 @@ class BurgersEquation(PDEBase):
                 return lambda x, t: jnp.tanh((x[:, 0:1] - 0.5) / eps)
             return lambda x, t: jnp.prod(jnp.tanh((x - 0.5) / eps), axis=1, keepdims=True)
         return super()._create_initial_condition(params)
+
+    def _create_boundary_condition(self, bc_type: str, params: Dict) -> Callable:
+        if (
+            bc_type == "dirichlet"
+            and (self.settings.exact_solution or {}).get("type") == "traveling_wave"
+        ):
+            # The moving front's endpoint values are +/-a offsets around c,
+            # not zero — target the exact trace at the boundary.
+            return lambda x, t: self.exact_solution(x, t)
+        return super()._create_boundary_condition(bc_type, params)
