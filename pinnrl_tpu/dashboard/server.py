@@ -294,6 +294,25 @@ class _Handler(BaseHTTPRequestHandler):
                 elif what == "solution":
                     sol = load_solution(exp)
                     self._json(sol if sol else {"error": "no final model"})
+                elif what == "viz":
+                    # Saved visualization PNGs (reference: dashboard.py:2351-2425).
+                    viz = exp / "visualizations"
+                    if len(parts) >= 6 and parts[5]:
+                        fname = parts[5]
+                        target = viz / fname
+                        if (
+                            "/" in fname or ".." in fname
+                            or not target.exists() or target.suffix != ".png"
+                        ):
+                            self._json({"error": "not found"}, 404)
+                        else:
+                            self._send(200, target.read_bytes(), "image/png")
+                    else:
+                        names = (
+                            sorted(p.name for p in viz.glob("*.png"))
+                            if viz.is_dir() else []
+                        )
+                        self._json({"images": names})
                 elif what == "report":
                     # Downloadable self-contained HTML report
                     # (reference: dashboard.py:2091-2127).

@@ -56,6 +56,10 @@ def fourier_features(x: jax.Array, B: jax.Array, two_pi: bool = True) -> jax.Arr
         and x.ndim == 2
         and x.shape[0] >= 8
         and B.shape[1] % 128 == 0
+        # f32 only: XLA's X64 rewriting pass cannot rewrite custom-calls, so
+        # an f64 polish phase must take the jnp path.
+        and x.dtype == jnp.float32
+        and B.dtype == jnp.float32
     ):
         try:
             return _pallas_ff(x, B, two_pi)

@@ -51,6 +51,9 @@ def fused_mlp_score(x: jax.Array, params: dict, eps: float = 1e-6) -> jax.Array:
         jax.default_backend() in ("tpu", "axon")
         and n >= 256
         and h % 128 == 0
+        # f32 only: the X64 rewriting pass cannot rewrite custom-calls.
+        and x.dtype == jnp.float32
+        and w1.dtype == jnp.float32
     )
     if not use_pallas:
         def dlr(z, w, b, g, be):

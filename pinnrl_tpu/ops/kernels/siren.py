@@ -47,6 +47,9 @@ def siren_layer(x: jax.Array, W: jax.Array, b: jax.Array, omega: float = 30.0):
         and x.ndim == 2
         and x.shape[0] >= 8
         and W.shape[1] % 128 == 0
+        # f32 only: the X64 rewriting pass cannot rewrite custom-calls.
+        and x.dtype == jnp.float32
+        and W.dtype == jnp.float32
     ):
         try:
             return _pallas_siren(x, W, b, omega)

@@ -226,7 +226,16 @@ class PDETrainer:
                 k_loss = jax.random.PRNGKey(0x10E5)
             else:
                 key, k_samp, k_loss, k_rl = jax.random.split(state["key"], 4)
-            x, t = self._sample(k_samp, batch_size, state["params"], state["rl"])
+            if lbfgs:
+                # Fixed uniform batch: RAR/adaptive draws depend on the
+                # CURRENT params' residual field, so even a fixed key gives a
+                # drifting objective that breaks the line search and
+                # curvature history.
+                x, t = self.pde.generate_collocation_points(
+                    k_samp, batch_size, "uniform"
+                )
+            else:
+                x, t = self._sample(k_samp, batch_size, state["params"], state["rl"])
             if f64:
                 x, t = x.astype(jnp.float64), t.astype(jnp.float64)
             if self.mesh is not None:

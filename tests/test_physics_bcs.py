@@ -6,7 +6,6 @@ matching the normal derivative, and generic smoothness."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from pinnrl_tpu.config import PDESettings, TrainingConfig, load_config
 from pinnrl_tpu.pdes import create_pde
@@ -95,7 +94,8 @@ def test_neumann_matches_normal_derivative():
     u = lambda z: z[0] * 1.0
     zero_target = lambda x, t: jnp.zeros_like(x[:, 0:1])
     loss_zero = float(pde._neumann_loss(u, zero_target, jax.random.PRNGKey(0), 32))
-    assert abs(loss_zero - 1.0) < 1e-5  # (±1 - 0)^2 averaged = 1
+    # Per-face mse summed over both faces: (−1−0)^2 + (+1−0)^2 = 2.
+    assert abs(loss_zero - 2.0) < 1e-5
     matching = lambda x, t: jnp.where(x[:, 0:1] < 0.5, -1.0, 1.0)
     loss_match = float(pde._neumann_loss(u, matching, jax.random.PRNGKey(0), 32))
     assert loss_match < 1e-10

@@ -54,6 +54,10 @@ def test_update_trains_and_decays_epsilon():
     s = jax.random.normal(key, (16, 2))
     p0 = st.policy_params
     st = agent.update(st, s, jnp.ones((16,)), s, jnp.zeros(()), key)
+    # update() itself must NOT decay epsilon (the trainer decays it once per
+    # epoch via update_epsilon).
+    assert float(st.epsilon) == 1.0
+    st = agent.update_epsilon(st)
     assert float(st.epsilon) < 1.0
     # Buffer >= batch_size -> a TD update must have changed the policy.
     changed = any(

@@ -135,3 +135,66 @@ def test_solution_explorer_from_tiny_run(tmp_path):
     assert len(sol["u_pred"]) == 3 and len(sol["u_pred"][0]) == 16
     assert sol["u_exact"] is not None
     assert np.isfinite(np.asarray(sol["u_pred"])).all()
+
+
+def test_buffer_wraparound():
+    agent = _agent(memory_size=16)
+    st = agent.init(jax.random.PRNGKey(0))
+    pts = jnp.arange(20, dtype=jnp.float32).reshape(10, 2)
+    st = agent.push(st, pts, jnp.ones((10,)), pts, jnp.ones(()))
+    st = agent.push(st, pts + 100, jnp.ones((10,)) * 2, pts, jnp.ones(()))
+    assert int(st.size) == 16  # capped at capacity
+    assert int(st.ptr) == 4  # wrapped around
+    # Newest transitions overwrote the oldest slots.
+    assert float(st.buf_state[0, 0]) >= 100.0
+
+
+def test_target_sync_cadence():
+    agent = _agent(target_update=2, batch_size=4)
+    st = agent.init(jax.random.PRNGKey(0))
+    pts = jax.random.normal(jax.random.PRNGKey(1), (8, 2))
+    r = jnp.ones((8,))
+    k = jax.random.PRNGKey(2)
+    st1 = agent.update(st, pts, r, pts, jnp.ones(()), k)  # steps=1: no sync, trains
+    diff_after_1 = jax.tree_util.tree_reduce(
+        lambda a, b: a + float(jnp.sum(jnp.abs(b))), jax.tree_util.tree_map(
+            lambda p, t: p - t, st1.policy_params, st1.target_params), 0.0)
+    assert diff_after_1 > 0  # policy trained, target stale
+    st2 = agent.update(st1, pts, r, pts, jnp.ones(()), k)  # steps=2: sync BEFORE train
+    assert int(st2.steps) == 2
+
+
+def test_select_action_explore_vs_exploit():
+    agent = _agent()
+    st = agent.init(jax.random.PRNGKey(0))
+    pts = jax.random.normal(jax.random.PRNGKey(1), (16, 2))
+    st_greedy = st.replace(epsilon=jnp.zeros(()))
+    q1 = agent.select_action(st_greedy, pts, jax.random.PRNGKey(2))
+    q2 = agent.select_action(st_greedy, pts, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2))  # greedy: key-free
+    st_explore = st.replace(epsilon=jnp.ones(()))
+    r1 = agent.select_action(st_explore, pts, jax.random.PRNGKey(2))
+    r2 = agent.select_action(st_explore, pts, jax.random.PRNGKey(3))
+    assert not np.allclose(np.asarray(r1), np.asarray(r2))  # random scores
+
+
+def test_epsilon_floor():
+    agent = _agent(epsilon_end=0.25, epsilon_decay=0.1)
+    st = agent.init(jax.random.PRNGKey(0))
+    for _ in range(10):
+        st = agent.update_epsilon(st)
+    assert abs(float(st.epsilon) - 0.25) < 1e-6
+
+
+def test_agent_state_save_load_roundtrip(tmp_path):
+    agent = _agent()
+    st = agent.init(jax.random.PRNGKey(0))
+    st = agent.update_epsilon(st)
+    path = str(tmp_path / "agent.msgpack")
+    agent.save_state(path, st)
+    st2 = agent.load_state(path, agent.init(jax.random.PRNGKey(1)))
+    assert float(st2.epsilon) == float(st.epsilon)
+    a = jax.tree_util.tree_leaves(st.policy_params)
+    b = jax.tree_util.tree_leaves(st2.policy_params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
