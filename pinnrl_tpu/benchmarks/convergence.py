@@ -53,12 +53,17 @@ RECIPES: Dict[str, dict] = {
         model=dict(hidden_dims=[256, 256, 256], mapping_size=128, scale=2.0),
         training=dict(
             num_epochs=3000, num_collocation_points=40000, batch_size=8192,
+            # Adam rides the TPU to its f32 plateau (~1.6e-2); the f64
+            # L-BFGS polish then runs on the host CPU backend (XLA:TPU has
+            # no native f64 — see PDETrainer._f64_device), so the polish
+            # phase is kept short and its fixed batch modest.
+            optimizer="adam_lbfgs", adam_lbfgs_switch_ratio=0.9,
             num_boundary_points=4096, num_initial_points=4096,
-            optimizer="adam_lbfgs", adam_lbfgs_switch_ratio=0.5,
             learning_rate=2e-3, weight_decay=0.0,
             # f64 L-BFGS polish: the f32 noise floor of the 3rd-order
             # forward-mode derivative is what capped KdV at ~1.6e-2.
             residual_dtype="float64",
+            lbfgs_batch_size=2048,
         ),
     ),
     "wave": dict(
@@ -131,6 +136,8 @@ def run_convergence(
     t.optimizer_config.weight_decay = tr_over.pop("weight_decay", 0.0)
     if "loss_weights" in tr_over:
         t.loss_weights.update(tr_over.pop("loss_weights"))
+    if "lbfgs_batch_size" in tr_over:
+        t.lbfgs.batch_size = tr_over.pop("lbfgs_batch_size")
     for k, v in tr_over.items():
         setattr(t, k, v)
     if epochs:

@@ -110,6 +110,12 @@ class LBFGSConfig(_DictAccess):
     line_search_fn: str = "strong_wolfe"
     tolerance_grad: float = 1.0e-7
     tolerance_change: float = 1.0e-9
+    # Fixed-batch size for the L-BFGS phase; None = full collocation set
+    # (reference parity). Set it when the full-batch objective does not fit
+    # in HBM — e.g. the float64 residual polish triples live memory (f64
+    # buffers + zoom-linesearch value_fn copies), and a 40k-point KdV batch
+    # needs ~22G on a 16G v5e chip.
+    batch_size: Optional[int] = None
 
 
 @dataclass
@@ -504,6 +510,8 @@ class Config(_DictAccess):
             raise ValueError("training.num_collocation_points must be positive")
         if not 0.0 < t.adam_lbfgs_switch_ratio < 1.0:
             raise ValueError("training.adam_lbfgs_switch_ratio must be in (0,1)")
+        if t.lbfgs.batch_size is not None and t.lbfgs.batch_size <= 0:
+            raise ValueError("training.lbfgs.batch_size must be positive or None")
         if self.model.input_dim != self.pde.dimension + 1:
             raise ValueError(
                 f"model.input_dim ({self.model.input_dim}) must equal pde.dimension+1 "

@@ -385,12 +385,43 @@ class PDETrainer:
         if self.tcfg.residual_dtype != "float64":
             return params
         jax.config.update("jax_enable_x64", True)
+        dev = self._f64_device()
+        if dev is not None:
+            params = jax.device_put(params, dev)
         return jax.tree_util.tree_map(
             lambda a: a.astype(jnp.float64)
             if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
             else a,
             params,
         )
+
+    def _f64_device(self):
+        """Device for the f64 polish phase: the host CPU backend (native f64)
+        when the default backend is a TPU. XLA:TPU has no native f64 — its
+        X64-rewriting pass decomposes every f64 op into f32 pairs, which
+        explodes compile time on the 3rd/4th-order jet HLO (measured: a
+        single KdV loss+grad did not finish compiling in 9 min, and the
+        full-batch program OOMs at 22G). The CPU backend compiles the same
+        program in ~15s and runs a 2048-point eval in ~2s, which is plenty
+        for a short deterministic polish. Committing the phase's state to CPU
+        devices routes the jitted epoch there (computation follows data).
+        Returns None when no move is needed (already CPU, or mesh-sharded)."""
+        if self.tcfg.residual_dtype != "float64" or self.mesh is not None:
+            return None
+        if jax.default_backend() == "cpu":
+            return None
+        try:
+            return jax.devices("cpu")[0]
+        except RuntimeError:
+            return None
+
+    def _maybe_commit_f64_state(self, state):
+        """Commit the full phase state to the f64 device (see _f64_device)."""
+        dev = self._f64_device()
+        if dev is None:
+            return state
+        logger.info("f64 L-BFGS polish runs on the host CPU backend")
+        return jax.device_put(state, dev)
 
     @staticmethod
     def _demote_f32(tree):
@@ -430,8 +461,14 @@ class PDETrainer:
         num_epochs = num_epochs or t.num_epochs
         batch_size = batch_size or t.batch_size
         num_points = num_points or t.num_collocation_points
+        # L-BFGS runs one fixed batch per phase: the full collocation set by
+        # default (reference: trainer.py:456-462), capped by
+        # training.lbfgs.batch_size when the full-batch objective would not
+        # fit in HBM (the f64 polish on 40k KdV points needs ~22G on a 16G
+        # chip — the zoom linesearch holds several live value_fn copies).
+        lbfgs_bs = min(t.lbfgs.batch_size or num_points, num_points)
         if self.optimizer_name == "lbfgs":
-            batch_size = num_points  # full batch (reference: trainer.py:456-462)
+            batch_size = lbfgs_bs
         batch_size = min(batch_size, num_points)
         # Recompute the phase switch against the ACTUAL horizon (train() args
         # may override the config the constructor saw).
@@ -479,6 +516,8 @@ class PDETrainer:
         # Break any buffer aliasing (e.g. L-BFGS init referencing param
         # buffers) before handing the state to the compiled epoch function.
         state = jax.tree_util.tree_map(jnp.array, state)
+        if lbfgs_mode:
+            state = self._maybe_commit_f64_state(state)
 
         start_epoch = 0
         if resume_from:
@@ -522,7 +561,8 @@ class PDETrainer:
                             jnp.array, optimizer.init(promoted)
                         ),
                     }
-                    epoch_fn = self._build_epoch_fn(optimizer, num_points, 1, True)
+                    state = self._maybe_commit_f64_state(state)
+                    epoch_fn = self._build_epoch_fn(optimizer, lbfgs_bs, 1, True)
 
                 # Chunk = one validation interval of epochs fused into a single
                 # device call; clipped at the lbfgs switch and the horizon.

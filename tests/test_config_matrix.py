@@ -215,3 +215,17 @@ def test_config_dict_access_matrix(pde):
     assert cfg["pde_type"] == pde
     assert cfg.get("training") is cfg.training
     assert cfg.training.get("nonexistent", "d") == "d"
+
+
+def test_lbfgs_batch_size_block():
+    raw = load_config().raw
+    raw["training"]["lbfgs"] = {"batch_size": 4096}
+    cfg = Config(config_dict=raw)
+    assert cfg.training.lbfgs.batch_size == 4096
+
+
+def test_lbfgs_batch_size_validation():
+    raw = load_config().raw
+    raw["training"]["lbfgs"] = {"batch_size": -1}
+    with pytest.raises(ValueError, match="lbfgs.batch_size"):
+        Config(config_dict=raw)

@@ -196,3 +196,22 @@ def test_f64_lbfgs_polish_runs():
     assert any(leaf.dtype == jnp.float64 for leaf in leaves)
     model_leaves = jax.tree_util.tree_leaves(trainer.model.params)
     assert all(leaf.dtype == jnp.float32 for leaf in model_leaves)
+
+
+def test_lbfgs_batch_size_cap():
+    """training.lbfgs.batch_size caps the fixed L-BFGS-phase batch (the
+    f64 polish OOMs at full batch on a 16G chip without it)."""
+    cfg = tiny_config(optimizer="adam_lbfgs", num_epochs=4)
+    cfg.training.adam_lbfgs_switch_ratio = 0.5
+    cfg.training.lbfgs.batch_size = 16  # < num_collocation_points (64)
+    trainer = make_trainer(cfg)
+    res = trainer.train()
+    assert res["status"] == "completed"
+    assert np.isfinite(res["final_train_loss"])
+
+
+def test_lbfgs_batch_size_caps_pure_lbfgs():
+    cfg = tiny_config(optimizer="lbfgs", num_epochs=2)
+    cfg.training.lbfgs.batch_size = 16
+    res = make_trainer(cfg).train()
+    assert res["status"] == "completed"
