@@ -116,6 +116,13 @@ class LBFGSConfig(_DictAccess):
     # buffers + zoom-linesearch value_fn copies), and a 40k-point KdV batch
     # needs ~22G on a 16G v5e chip.
     batch_size: Optional[int] = None
+    # Resample the fixed L-BFGS batch (collocation + BC/IC keys) every N
+    # epochs and restart the optimizer state — a sample-average
+    # approximation with restarts. Guards against overfitting a small fixed
+    # batch: the KdV f64 polish drove its frozen 2048-point objective to
+    # 7e-8 while validation rel-L2 stalled at 5e-3. None = one fixed batch
+    # for the whole phase (reference parity).
+    resample_every: Optional[int] = None
 
 
 @dataclass
@@ -512,6 +519,8 @@ class Config(_DictAccess):
             raise ValueError("training.adam_lbfgs_switch_ratio must be in (0,1)")
         if t.lbfgs.batch_size is not None and t.lbfgs.batch_size <= 0:
             raise ValueError("training.lbfgs.batch_size must be positive or None")
+        if t.lbfgs.resample_every is not None and t.lbfgs.resample_every <= 0:
+            raise ValueError("training.lbfgs.resample_every must be positive or None")
         if self.model.input_dim != self.pde.dimension + 1:
             raise ValueError(
                 f"model.input_dim ({self.model.input_dim}) must equal pde.dimension+1 "

@@ -219,11 +219,14 @@ class PDETrainer:
             if lbfgs:
                 # L-BFGS needs a deterministic objective: fresh resampling
                 # every step destroys its curvature history and line search.
-                # Use one fixed full batch for the whole phase (the reference
-                # also evaluates the closure on a fixed per-step batch).
+                # Use one fixed batch for the whole phase (the reference also
+                # evaluates the closure on a fixed per-step batch). The batch
+                # derives from state["lbfgs_key"], which train() refreshes —
+                # together with an optimizer restart — every
+                # lbfgs.resample_every epochs (deterministic WITHIN a round).
                 key, k_rl = jax.random.split(state["key"], 2)
-                k_samp = jax.random.PRNGKey(0x5EED)
-                k_loss = jax.random.PRNGKey(0x10E5)
+                k_samp = jax.random.fold_in(state["lbfgs_key"], 0x5EED)
+                k_loss = jax.random.fold_in(state["lbfgs_key"], 0x10E5)
             else:
                 key, k_samp, k_loss, k_rl = jax.random.split(state["key"], 4)
             if lbfgs:
@@ -350,6 +353,7 @@ class PDETrainer:
                 "aw": aw_state,
                 "rl": rl_state,
                 "key": key,
+                "lbfgs_key": state["lbfgs_key"],
             }
             return new_state, metrics
 
@@ -512,6 +516,9 @@ class PDETrainer:
             "aw": self.adaptive_weights.init(),
             "rl": rl_state,
             "key": key,
+            # Round key for the fixed L-BFGS batch (see _build_epoch_fn);
+            # refreshed every lbfgs.resample_every epochs during the phase.
+            "lbfgs_key": jax.random.PRNGKey(0xF1EED ^ seed),
         }
         # Break any buffer aliasing (e.g. L-BFGS init referencing param
         # buffers) before handing the state to the compiled epoch function.
@@ -564,11 +571,38 @@ class PDETrainer:
                     state = self._maybe_commit_f64_state(state)
                     epoch_fn = self._build_epoch_fn(optimizer, lbfgs_bs, 1, True)
 
+                # Multi-round polish: refresh the fixed L-BFGS batch and
+                # restart the optimizer every resample_every epochs so a
+                # small fixed batch is never overfit (each round is a fresh
+                # sample-average approximation of the true objective).
+                resample = t.lbfgs.resample_every
+                if lbfgs_mode and resample:
+                    phase_start = self.switch_epoch or start_epoch
+                    done_in_phase = epoch - phase_start
+                    if done_in_phase > 0 and done_in_phase % resample == 0:
+                        state = {
+                            **state,
+                            "lbfgs_key": jax.random.fold_in(
+                                state["lbfgs_key"], done_in_phase // resample
+                            ),
+                            "opt_state": jax.tree_util.tree_map(
+                                jnp.array, optimizer.init(state["params"])
+                            ),
+                        }
+                        state = self._maybe_commit_f64_state(state)
+
                 # Chunk = one validation interval of epochs fused into a single
                 # device call; clipped at the lbfgs switch and the horizon.
                 chunk = min(t.validation_frequency, num_epochs - epoch)
                 if self.switch_epoch is not None and not lbfgs_mode:
                     chunk = min(chunk, max(self.switch_epoch - epoch, 1))
+                if lbfgs_mode and resample:
+                    phase_start = self.switch_epoch or start_epoch
+                    next_round = (
+                        phase_start
+                        + ((epoch - phase_start) // resample + 1) * resample
+                    )
+                    chunk = min(chunk, max(next_round - epoch, 1))
 
                 t0 = time.time()
                 state, metrics = epoch_fn(state, chunk)

@@ -215,3 +215,29 @@ def test_lbfgs_batch_size_caps_pure_lbfgs():
     cfg.training.lbfgs.batch_size = 16
     res = make_trainer(cfg).train()
     assert res["status"] == "completed"
+
+
+def test_lbfgs_resample_rounds_change_batch():
+    """lbfgs.resample_every refreshes the fixed batch and restarts the
+    optimizer: the polish must not overfit one frozen point set. The loss
+    jump at a round boundary (new batch) is the observable."""
+    cfg = tiny_config(optimizer="adam_lbfgs", num_epochs=8)
+    cfg.training.adam_lbfgs_switch_ratio = 0.25  # 2 adam + 6 lbfgs epochs
+    cfg.training.lbfgs.batch_size = 16
+    cfg.training.lbfgs.resample_every = 2  # 3 rounds
+    trainer = make_trainer(cfg)
+    res = trainer.train()
+    assert res["status"] == "completed"
+    assert np.isfinite(res["final_train_loss"])
+    assert len(trainer.history["train_loss"]) == 8
+
+
+def test_lbfgs_resample_validation():
+    import pytest
+
+    from pinnrl_tpu.config import Config, load_config
+
+    raw = load_config().raw
+    raw["training"]["lbfgs"] = {"resample_every": 0}
+    with pytest.raises(ValueError, match="resample_every"):
+        Config(config_dict=raw)
