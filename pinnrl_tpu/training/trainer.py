@@ -490,6 +490,20 @@ class PDETrainer:
             exp.mkdir(parents=True, exist_ok=True)
             (exp / "visualizations").mkdir(exist_ok=True)
             (exp / ".running").touch()
+            if not (exp / "config.yaml").exists():
+                # Config snapshot: the dashboard's solution explorer rebuilds
+                # the exact model/PDE from it (Config.from_snapshot) — owned
+                # by the trainer so every entry path gets one, not just the
+                # CLI (reference infers hyperparams from tensor shapes
+                # instead, dashboard.py:2428-2501).
+                try:
+                    import yaml
+
+                    (exp / "config.yaml").write_text(
+                        yaml.safe_dump(self.config.to_dict(), default_flow_style=False)
+                    )
+                except Exception:
+                    logger.exception("config snapshot failed")
             self._write_metadata(exp, status="running", num_epochs=num_epochs)
             self._fh = logging.FileHandler(exp / "experiment.log")
             logger.addHandler(self._fh)

@@ -135,3 +135,40 @@ def test_launch_trainer_command(tmp_path, monkeypatch):
     assert "--rl" in cmd
     assert "--identify" in cmd and "nu" in cmd
     assert "--initial-guess" in cmd and "nu=0.1" in cmd
+
+
+def test_solution_explorer_from_real_experiment(tmp_path):
+    """Round-trip: a tiny completed training run is explorable through
+    load_solution (exact-vs-predicted at a ladder of time slices), rebuilt
+    from the saved config snapshot + final_model.msgpack — no shape
+    inference (reference needs dashboard.py:2428-2501 for this)."""
+    from pinnrl_tpu.dashboard.server import load_solution
+    from pinnrl_tpu.models import PINNModel
+    from pinnrl_tpu.pdes import create_pde
+    from pinnrl_tpu.training import PDETrainer
+    from tests.test_utils import tiny_config
+
+    cfg = tiny_config(pde_type="heat", architecture="feedforward")
+    pde = create_pde(cfg)
+    model = PINNModel(cfg)
+    exp = tmp_path / "exp1"
+    PDETrainer(model, pde, cfg).train(experiment_dir=str(exp))
+
+    payload = load_solution(exp, grid=16, n_times=3)
+    assert payload is not None
+    assert payload["dimension"] == 1
+    assert len(payload["times"]) == 3
+    assert len(payload["u_pred"]) == 3
+    assert len(payload["u_pred"][0]) == 16
+    assert payload["u_exact"] is not None  # heat has an exact solution
+    assert np.isfinite(np.asarray(payload["u_pred"])).all()
+    # Cached on second call (same object).
+    assert load_solution(exp, grid=16, n_times=3) is payload
+
+
+def test_solution_explorer_missing_artifacts(tmp_path):
+    from pinnrl_tpu.dashboard.server import load_solution
+
+    empty = tmp_path / "no_exp"
+    empty.mkdir()
+    assert load_solution(empty) is None
