@@ -51,24 +51,21 @@ RECIPES: Dict[str, dict] = {
     "kdv": dict(
         arch="fourier",
         model=dict(hidden_dims=[256, 256, 256], mapping_size=128, scale=2.0),
+        # Recipe history (measured, seed 0): f32 adam plateaus at 3.7e-3 and
+        # then OVERFITS the f32 jet-noise (3000 epochs: loss 1.6e-7 but
+        # rel-L2 back up to 5.0e-3); a fixed-batch f64 L-BFGS polish
+        # overfits its own 2048-pt batch (loss 7e-8, rel-L2 5.1e-3). The
+        # escape is phase-2 ADAM with FRESH per-step batches in f64 (on the
+        # host CPU backend — XLA:TPU has no native f64): the only variant
+        # where lower train loss keeps lowering whole-domain rel-L2.
         training=dict(
             num_epochs=3000, num_collocation_points=40000, batch_size=8192,
-            # Adam rides the TPU to its f32 plateau (~1.6e-2); the f64
-            # L-BFGS polish then runs on the host CPU backend (XLA:TPU has
-            # no native f64 — see PDETrainer._f64_device), so the polish
-            # phase is kept short and its fixed batch modest.
-            optimizer="adam_lbfgs", adam_lbfgs_switch_ratio=0.9,
+            optimizer="adam_lbfgs", adam_lbfgs_switch_ratio=0.8,
+            phase2_optimizer="adam", phase2_learning_rate=1e-4,
             num_boundary_points=4096, num_initial_points=4096,
             learning_rate=2e-3, weight_decay=0.0,
-            # f64 L-BFGS polish: the f32 noise floor of the 3rd-order
-            # forward-mode derivative is what capped KdV at ~1.6e-2.
             residual_dtype="float64",
-            lbfgs_batch_size=2048,
-            # Fresh fixed batch + L-BFGS restart every 50 epochs: a single
-            # frozen 2048-pt batch gets driven to ~7e-8 train loss while
-            # validation stalls at 5e-3 (overfit); 6 rounds of fresh batches
-            # keep the polish honest.
-            lbfgs_resample_every=50,
+            lbfgs_batch_size=2048,  # phase-2 per-step batch
         ),
     ),
     "wave": dict(

@@ -175,6 +175,15 @@ class TrainingConfig(_DictAccess):
     # requires jax x64 (the trainer enables it at the phase switch). New
     # capability beyond the reference.
     residual_dtype: str = "float32"
+    # Optimizer for the post-switch phase of adam_lbfgs: "lbfgs" (default,
+    # reference parity: deterministic fixed-batch quasi-Newton) or "adam"
+    # (fresh per-step batches at phase2_learning_rate). With
+    # residual_dtype=float64, phase-2 adam is the noise-floor escape that
+    # actually generalizes: a fixed-batch f64 L-BFGS polish drives its own
+    # batch to ~1e-7 while whole-domain rel-L2 stalls (overfit), whereas
+    # fresh f64 batches keep lowering the true objective. New capability.
+    phase2_optimizer: str = "lbfgs"
+    phase2_learning_rate: float = 1.0e-4
     scheduler_type: str = "cosine"
     loss_weights: Dict[str, float] = field(
         default_factory=lambda: {
@@ -521,6 +530,10 @@ class Config(_DictAccess):
             raise ValueError("training.lbfgs.batch_size must be positive or None")
         if t.lbfgs.resample_every is not None and t.lbfgs.resample_every <= 0:
             raise ValueError("training.lbfgs.resample_every must be positive or None")
+        if t.phase2_optimizer not in ("lbfgs", "adam"):
+            raise ValueError(
+                f"training.phase2_optimizer must be lbfgs or adam, got {t.phase2_optimizer!r}"
+            )
         if self.model.input_dim != self.pde.dimension + 1:
             raise ValueError(
                 f"model.input_dim ({self.model.input_dim}) must equal pde.dimension+1 "

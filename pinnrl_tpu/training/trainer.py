@@ -197,18 +197,27 @@ class PDETrainer:
             )
         return self.pde.generate_collocation_points(key, n, strategy)
 
-    def _build_epoch_fn(self, optimizer, batch_size: int, steps_per_epoch: int, lbfgs: bool):
+    def _build_epoch_fn(
+        self,
+        optimizer,
+        batch_size: int,
+        steps_per_epoch: int,
+        lbfgs: bool,
+        f64: Optional[bool] = None,
+    ):
         """One jitted epoch: lax.scan over fused train steps."""
         agent = self.rl_agent
         aw_on = self.aw_enabled
         lrw = aw_on and self.adaptive_weights.strategy == "lrw"
         n_push = min(128, batch_size)  # per-step transitions pushed into the DQN buffer
-        # f64 polish: during the deterministic L-BFGS phase the residual (and
-        # the whole objective) can be evaluated in float64 to get past the
-        # f32 noise floor of 3rd/4th-order forward-mode derivatives (the KdV
-        # and Cahn-Hilliard accuracy ceiling). Params are cast at the phase
-        # switch in train(); here the sampled batch follows them.
-        f64 = lbfgs and self.tcfg.residual_dtype == "float64"
+        # f64 polish: during the phase-2 polish the residual (and the whole
+        # objective) can be evaluated in float64 to get past the f32 noise
+        # floor of 3rd/4th-order forward-mode derivatives (the KdV and
+        # Cahn-Hilliard accuracy ceiling). Params are cast at the phase
+        # switch in train(); here the sampled batch follows them. Callers
+        # pass f64 explicitly for the phase-2 adam variant (fresh batches).
+        if f64 is None:
+            f64 = lbfgs and self.tcfg.residual_dtype == "float64"
 
         def loss_total(params, x, t, key):
             losses = self._loss_components(params, x, t, key)
@@ -563,16 +572,32 @@ class PDETrainer:
         )
         stop = False
         epoch = start_epoch
+        switched = lbfgs_mode or self.switch_epoch is None
         try:
             while epoch < num_epochs and not stop:
-                # Two-phase Adam -> L-BFGS switch (reference: trainer.py:357-361,849-859).
+                # Two-phase switch (reference: trainer.py:357-361,849-859):
+                # adam -> lbfgs (fixed-batch quasi-Newton polish), or
+                # adam -> adam (phase2_optimizer="adam": fresh batches at
+                # phase2_learning_rate — with residual_dtype=float64 this is
+                # the f64 fine-tune that generalizes; see TrainingConfig).
                 if (
                     self.switch_epoch is not None
                     and epoch >= self.switch_epoch
-                    and not lbfgs_mode
+                    and not switched
                 ):
-                    logger.info("Switching optimizer: adam -> lbfgs at epoch %d", epoch)
-                    optimizer, lbfgs_mode = lbfgs_opt, True
+                    switched = True
+                    phase2_lbfgs = t.phase2_optimizer == "lbfgs"
+                    logger.info(
+                        "Switching optimizer: adam -> %s at epoch %d",
+                        t.phase2_optimizer, epoch,
+                    )
+                    if phase2_lbfgs:
+                        optimizer, lbfgs_mode = lbfgs_opt, True
+                    else:
+                        optimizer = optax.chain(
+                            optax.clip_by_global_norm(t.gradient_clip_norm),
+                            optax.adam(t.phase2_learning_rate),
+                        )
                     steps_per_epoch = 1
                     promoted = self._maybe_promote_f64(state["params"])
                     state = {
@@ -583,7 +608,10 @@ class PDETrainer:
                         ),
                     }
                     state = self._maybe_commit_f64_state(state)
-                    epoch_fn = self._build_epoch_fn(optimizer, lbfgs_bs, 1, True)
+                    epoch_fn = self._build_epoch_fn(
+                        optimizer, lbfgs_bs, 1, phase2_lbfgs,
+                        f64=self.tcfg.residual_dtype == "float64",
+                    )
 
                 # Multi-round polish: refresh the fixed L-BFGS batch and
                 # restart the optimizer every resample_every epochs so a
@@ -608,7 +636,7 @@ class PDETrainer:
                 # Chunk = one validation interval of epochs fused into a single
                 # device call; clipped at the lbfgs switch and the horizon.
                 chunk = min(t.validation_frequency, num_epochs - epoch)
-                if self.switch_epoch is not None and not lbfgs_mode:
+                if self.switch_epoch is not None and not switched:
                     chunk = min(chunk, max(self.switch_epoch - epoch, 1))
                 if lbfgs_mode and resample:
                     phase_start = self.switch_epoch or start_epoch

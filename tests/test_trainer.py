@@ -241,3 +241,33 @@ def test_lbfgs_resample_validation():
     raw["training"]["lbfgs"] = {"resample_every": 0}
     with pytest.raises(ValueError, match="resample_every"):
         Config(config_dict=raw)
+
+
+def test_phase2_adam_f64_finetune():
+    """phase2_optimizer=adam: after the switch the trainer fine-tunes with
+    fresh per-step batches in f64 (the generalizing noise-floor escape)."""
+    cfg = tiny_config(optimizer="adam_lbfgs", num_epochs=6)
+    cfg.training.adam_lbfgs_switch_ratio = 0.5
+    cfg.training.phase2_optimizer = "adam"
+    cfg.training.phase2_learning_rate = 1e-4
+    cfg.training.residual_dtype = "float64"
+    cfg.training.lbfgs.batch_size = 16
+    trainer = make_trainer(cfg)
+    res = trainer.train()
+    assert res["status"] == "completed"
+    assert np.isfinite(res["final_train_loss"])
+    assert len(trainer.history["train_loss"]) == 6
+    leaves = jax.tree_util.tree_leaves(trainer._final_state["params"]["net"])
+    import jax.numpy as jnp
+    assert any(leaf.dtype == jnp.float64 for leaf in leaves)
+
+
+def test_phase2_optimizer_validation():
+    import pytest
+
+    from pinnrl_tpu.config import Config, load_config
+
+    raw = load_config().raw
+    raw["training"]["phase2_optimizer"] = "sgd"
+    with pytest.raises(ValueError, match="phase2_optimizer"):
+        Config(config_dict=raw)
