@@ -59,9 +59,11 @@ RECIPES: Dict[str, dict] = {
         # host CPU backend — XLA:TPU has no native f64): the only variant
         # where lower train loss keeps lowering whole-domain rel-L2.
         training=dict(
-            num_epochs=3000, num_collocation_points=40000, batch_size=8192,
-            optimizer="adam_lbfgs", adam_lbfgs_switch_ratio=0.8,
-            phase2_optimizer="adam", phase2_learning_rate=1e-4,
+            num_epochs=2000, num_collocation_points=40000, batch_size=8192,
+            # 1500 fully-annealed f32 adam epochs (phase-1 cosine spans its
+            # own phase) + 500 f64 fresh-batch adam epochs at 3e-4 cosine->0.
+            optimizer="adam_lbfgs", adam_lbfgs_switch_ratio=0.75,
+            phase2_optimizer="adam", phase2_learning_rate=3e-4,
             num_boundary_points=4096, num_initial_points=4096,
             learning_rate=2e-3, weight_decay=0.0,
             residual_dtype="float64",

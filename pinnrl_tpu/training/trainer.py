@@ -523,7 +523,9 @@ class PDETrainer:
         params = {"net": self.model.params, "coeffs": self.pde.init_coeffs()}
         rl_state = self.rl_agent.init(k_rl) if self.rl_agent is not None else ()
 
-        adam_opt = self._make_adam(num_epochs, steps_per_epoch)
+        # Phase-1 adam anneals over ITS OWN phase, not the whole horizon:
+        # switching mid-cosine hands phase 2 an un-annealed (noisy) iterate.
+        adam_opt = self._make_adam(self.switch_epoch or num_epochs, steps_per_epoch)
         lbfgs_opt = self._make_lbfgs() if self.optimizer_name in ("lbfgs", "adam_lbfgs") else None
 
         if self.optimizer_name == "lbfgs":
@@ -566,7 +568,7 @@ class PDETrainer:
         oc_lr = t.optimizer_config.learning_rate
 
         lr_sched = (
-            self._make_lr_schedule(num_epochs, steps_per_epoch)
+            self._make_lr_schedule(self.switch_epoch or num_epochs, steps_per_epoch)
             if t.scheduler_type == "cosine"
             else None
         )
@@ -594,9 +596,18 @@ class PDETrainer:
                     if phase2_lbfgs:
                         optimizer, lbfgs_mode = lbfgs_opt, True
                     else:
+                        # Cosine-to-zero over the phase: a CONSTANT phase-2
+                        # lr only sets a stochastic equilibrium (measured on
+                        # KdV: loss rose from ~2e-6 to 1.3e-5); the decaying
+                        # schedule walks the equilibrium down instead.
+                        phase_len = max(num_epochs - epoch, 1)
                         optimizer = optax.chain(
                             optax.clip_by_global_norm(t.gradient_clip_norm),
-                            optax.adam(t.phase2_learning_rate),
+                            optax.adam(
+                                optax.cosine_decay_schedule(
+                                    t.phase2_learning_rate, phase_len
+                                )
+                            ),
                         )
                     steps_per_epoch = 1
                     promoted = self._maybe_promote_f64(state["params"])
