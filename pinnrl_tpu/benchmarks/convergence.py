@@ -16,6 +16,7 @@ from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence
 
 import jax
+import numpy as np
 
 from pinnrl_tpu.config import load_config
 from pinnrl_tpu.models import PINNModel
@@ -117,11 +118,9 @@ RECIPES: Dict[str, dict] = {
 }
 
 
-def run_convergence(
-    pde_key: str,
-    seed: int = 0,
-    epochs: Optional[int] = None,
-) -> ConvergenceResult:
+def build_recipe_config(pde_key: str, epochs: Optional[int] = None):
+    """Materialize a RECIPES entry into a Config (shared by the plain and
+    time-marching harnesses)."""
     recipe = RECIPES[pde_key]
     cfg = load_config(pde_type=pde_key, architecture=recipe["arch"])
     for k, v in (recipe.get("pde") or {}).items():
@@ -131,7 +130,10 @@ def run_convergence(
             setattr(cfg.pde, k, v)
     m = recipe["model"]
     cfg.model.hidden_dims = list(m.get("hidden_dims", cfg.model.hidden_dims))
-    for k in ("mapping_size", "scale", "omega_0", "hidden_dim", "num_blocks"):
+    for k in (
+        "mapping_size", "scale", "omega_0", "hidden_dim", "num_blocks",
+        "modified", "periodic",
+    ):
         if k in m:
             cfg.model.arch_params[k] = m[k]
     t = cfg.training
@@ -151,6 +153,17 @@ def run_convergence(
     t.early_stopping.enabled = False
     t.loss_weights["smoothness"] = 0.0
     t.validation_frequency = max(t.num_epochs // 4, 1)
+    return cfg
+
+
+def run_convergence(
+    pde_key: str,
+    seed: int = 0,
+    epochs: Optional[int] = None,
+) -> ConvergenceResult:
+    recipe = RECIPES[pde_key]
+    cfg = build_recipe_config(pde_key, epochs)
+    t = cfg.training
 
     pde = create_pde(cfg)
     model = PINNModel(cfg, seed=seed)
@@ -184,3 +197,98 @@ def results_to_csv(results: Sequence[ConvergenceResult]) -> str:
         for r in results
     ]
     return "\n".join([header, *rows]) + "\n"
+
+
+def run_time_marching(
+    pde_key: str,
+    seed: int = 0,
+    n_windows: int = 4,
+    epochs_per_window: Optional[int] = None,
+) -> ConvergenceResult:
+    """Time-marching training: split the time horizon into sequential
+    windows; window k trains on [t_k, t_{k+1}] with its initial condition
+    taken from window k-1's trained model at t_k (window 0 uses the true
+    problem IC). The stitched solution is validated per window against the
+    exact solution and aggregated into one rel-L2.
+
+    The cure for dispersive time-horizon ill-conditioning: globally-trained
+    KdV plateaus at rel-L2 ~4e-3 with residual RMS 2.6e-4 concentrated as
+    far-field radiation that grows with t (see the KdV recipe notes); short
+    windows keep the residual-to-error amplification small and error enters
+    the next window only through the inherited IC. New capability beyond
+    the reference (which trains the full horizon only).
+    """
+    import jax.numpy as jnp
+
+    cfg0 = build_recipe_config(pde_key)
+    t_lo_full, t_hi_full = cfg0.pde.time_domain
+    edges = np.linspace(t_lo_full, t_hi_full, n_windows + 1)
+    epw = epochs_per_window or max(cfg0.training.num_epochs // n_windows, 1)
+
+    prev = None  # (apply_fn, params) of the previous window's model
+    window_models = []
+    total_wall = 0.0
+    total_loss = 0.0
+    for w in range(n_windows):
+        cfg = build_recipe_config(pde_key, epochs=epw)
+        cfg.pde.time_domain = [float(edges[w]), float(edges[w + 1])]
+        cfg.training.validation_frequency = max(epw // 2, 1)
+        pde = create_pde(cfg)
+        model = PINNModel(cfg, seed=seed)
+        if prev is not None:
+            prev_apply, prev_params = prev
+            t_anchor = float(edges[w])
+
+            def inherited_ic(x, t, _a=prev_apply, _p=prev_params, _t=t_anchor):
+                z = jnp.concatenate(
+                    [x, jnp.full((x.shape[0], 1), _t, x.dtype)], axis=-1
+                )
+                return _a(_p, z).reshape(x.shape[0], -1)[:, 0:1]
+
+            pde.boundary_conditions["initial"] = inherited_ic
+            # Warm start: the previous window's weights are a good init for
+            # the shifted window (same normalized-coordinate geometry).
+            model.params = prev_params
+        trainer = PDETrainer(model, pde, cfg)
+        t0 = time.perf_counter()
+        res = trainer.train(seed=seed + w)
+        total_wall += time.perf_counter() - t0
+        total_loss = res["final_train_loss"]
+        params = trainer._final_state["params"]["net"]
+        window_models.append((model.apply, params, pde))
+        prev = (model.apply, params)
+
+    # Stitched validation: per-window uniform grids, aggregated norms.
+    err_sq, exact_sq, max_err = 0.0, 0.0, 0.0
+    n_val = 20000 // n_windows
+    for apply_fn, params, pde in window_models:
+        import jax
+
+        from pinnrl_tpu.sampling.strategies import sample_uniform
+
+        x, tt = sample_uniform(
+            jax.random.PRNGKey(1234), n_val, pde.domain, pde.time_domain
+        )
+        ex = pde.exact_solution(x, tt)
+        pred = apply_fn(params, jnp.concatenate([x, tt], -1)).reshape(x.shape[0], -1)[:, 0:1]
+        diff = np.asarray(pred - ex.reshape(pred.shape))
+        err_sq += float((diff**2).sum())
+        exact_sq += float((np.asarray(ex) ** 2).sum())
+        max_err = max(max_err, float(np.abs(diff).max()))
+    rel_l2 = (err_sq ** 0.5) / ((exact_sq ** 0.5) + 1e-12)
+
+    t = cfg0.training
+    steps = n_windows * epw * max(
+        t.num_collocation_points // min(t.batch_size, t.num_collocation_points), 1
+    )
+    return ConvergenceResult(
+        pde=f"{pde_key}_tm{n_windows}",
+        architecture=RECIPES[pde_key]["arch"],
+        epochs=n_windows * epw,
+        rel_l2=rel_l2,
+        max_error=max_err,
+        final_train_loss=total_loss,
+        wall_time_s=total_wall,
+        points_per_sec=steps * min(t.batch_size, t.num_collocation_points) / max(total_wall, 1e-9),
+        seed=seed,
+    )

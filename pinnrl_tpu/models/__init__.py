@@ -75,6 +75,7 @@ def create_module(model_cfg: ModelConfig):
             mapping_size=int(ap.get("mapping_size", 512)),
             scale=float(ap.get("scale", 4.0)),
             periodic=bool(ap.get("periodic", True)),
+            modified=bool(ap.get("modified", False)),
             activation=model_cfg.activation,
             dropout=model_cfg.dropout,
             layer_norm=model_cfg.layer_norm,

@@ -57,11 +57,35 @@ class FourierNetwork(nn.Module):
     activation: str = "tanh"
     dropout: float = 0.0
     layer_norm: bool = True
+    # Modified-MLP trunk (Wang, Teng & Perdikaris 2021, "Understanding and
+    # mitigating gradient flow pathologies in PINNs", eq. 3.14): two
+    # encoder streams U, V of the embedded input gate every hidden layer,
+    # H_{k+1} = (1 - Z_k) * U + Z_k * V. The standard fix for stiff-PINN
+    # optimization plateaus; all hidden widths must match. Enable with
+    # arch_params["modified"] = true. New capability beyond the reference.
+    modified: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         act = get_activation(self.activation)
         x = FourierFeatures(self.mapping_size, self.scale, self.periodic)(x)
+        if self.modified:
+            widths = set(self.hidden_dims)
+            if len(widths) != 1:
+                raise ValueError(
+                    f"modified MLP needs uniform hidden widths, got {self.hidden_dims}"
+                )
+            width = self.hidden_dims[0]
+            u = act(nn.Dense(width, name="enc_u")(x))
+            v = act(nn.Dense(width, name="enc_v")(x))
+            h = x
+            for i in range(len(self.hidden_dims)):
+                z = nn.Dense(width, name=f"gate_{i}")(h)
+                if self.layer_norm:
+                    z = nn.LayerNorm()(z)
+                z = act(z)
+                h = (1.0 - z) * u + z * v
+            return nn.Dense(self.output_dim)(h)
         for width in self.hidden_dims:
             x = nn.Dense(width)(x)
             if self.layer_norm:

@@ -478,10 +478,15 @@ class PDEBase:
         return jnp.concatenate(xs, axis=0), jnp.concatenate(ts, axis=0)
 
     def _sample_initial_points(self, key: jax.Array, n: int):
-        """Fresh spatial points at t=0, uniform over the domain."""
+        """Fresh spatial points at the initial time, uniform over the domain.
+
+        Anchored at ``time_domain[0]`` (not literal t=0) so problems posed on
+        a shifted window — e.g. time-marching training, where window k
+        inherits its IC from window k-1's model — enforce the IC at the
+        window start."""
         los, his = self._space_bounds()
         x = jax.random.uniform(key, (n, self.dimension), minval=los, maxval=his)
-        return x, jnp.zeros((n, 1), jnp.float32)
+        return x, jnp.full((n, 1), self.time_domain[0], jnp.float32)
 
     # ------------------------------------------------------------------ #
     # Structural BC losses

@@ -1,0 +1,86 @@
+"""Multi-seed sampling-strategy comparison on a front-dominated problem.
+
+VERDICT round-1 item 4: produce an artifact where adaptive (DQN) / RAR
+sampling beats uniform at equal epochs. The Burgers traveling wave
+(nu=0.01 -> front width 0.08, moving across the domain) is the regime
+adaptive sampling exists for; the harness config must actually converge
+(round-1's 300-epoch run learned nothing, rel-L2 ~ 1.0 for every strategy).
+
+    python scripts/run_sampling_suite.py --pde burgers --seeds 0,1,2 \
+        --epochs 2500 --batch 2048
+
+Appends rows to benchmark_results/sampling_r2.csv; one subprocess per seed
+so a TPU-worker crash only kills one run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import subprocess
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+_RUN_ONE = """
+import json
+from pinnrl_tpu.benchmarks.sampling import run_sampling_benchmark
+rs = run_sampling_benchmark(pde={pde!r}, epochs={epochs}, batch={batch},
+                            lr={lr}, seed={seed})
+for r in rs:
+    print("RESULT " + json.dumps(r.__dict__))
+"""
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pde", default="burgers")
+    ap.add_argument("--seeds", default="0,1,2")
+    ap.add_argument("--epochs", type=int, default=2500)
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--csv", default=str(ROOT / "benchmark_results" / "sampling_r2.csv"))
+    ap.add_argument("--timeout", type=int, default=3600)
+    args = ap.parse_args()
+
+    csv = Path(args.csv)
+    if not csv.exists():
+        csv.parent.mkdir(exist_ok=True)
+        csv.write_text(
+            "pde,strategy,final_loss,l2_error,rel_l2,wall_time_s,"
+            "points_per_sec,epochs,seed\n"
+        )
+
+    failures = 0
+    for seed in (int(s) for s in args.seeds.split(",")):
+        code = _RUN_ONE.format(
+            pde=args.pde, epochs=args.epochs, batch=args.batch,
+            lr=args.lr, seed=seed,
+        )
+        print(f"=== {args.pde} seed={seed} ===", flush=True)
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            cwd=ROOT, capture_output=True, text=True, timeout=args.timeout,
+        )
+        lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT ")]
+        if proc.returncode != 0 or not lines:
+            failures += 1
+            print(f"FAILED rc={proc.returncode}\n{proc.stderr[-2000:]}", flush=True)
+            continue
+        import json
+
+        for line in lines:
+            r = json.loads(line[len("RESULT "):])
+            row = (
+                f"{r['pde']},{r['strategy']},{r['final_loss']:.6e},"
+                f"{r['l2_error']:.6e},{r['rel_l2']:.6e},{r['wall_time_s']:.3f},"
+                f"{r['points_per_sec']:.1f},{r['epochs']},{r['seed']}\n"
+            )
+            with open(csv, "a") as f:
+                f.write(row)
+            print(row.strip(), flush=True)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

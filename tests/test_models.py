@@ -77,3 +77,28 @@ def test_fourier_constants_not_trainable():
     leaves = jax.tree_util.tree_leaves(model.params)
     b = model.constants["constants"]["FourierFeatures_0"]["B"]
     assert all(leaf.shape != b.shape or leaf is not b for leaf in leaves)
+
+
+def test_fourier_modified_mlp_forward_and_grads():
+    """Modified-MLP trunk (Wang et al. 2021): forward shape, finiteness,
+    nonzero gradient flow, and the uniform-width requirement."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from pinnrl_tpu.config import load_config
+
+    cfg = load_config(pde_type="heat", architecture="fourier")
+    cfg.model.hidden_dims = [32, 32, 32]
+    cfg.model.arch_params.update(mapping_size=8, modified=True)
+    model = PINNModel(cfg, seed=0)
+    z = jnp.linspace(0, 1, 20).reshape(10, 2)
+    out = model.apply(model.params, z)
+    assert out.shape == (10, 1) and bool(jnp.isfinite(out).all())
+    g = jax.grad(lambda p: jnp.sum(model.apply(p, z) ** 2))(model.params)
+    norm = sum(float(jnp.sum(x**2)) for x in jax.tree_util.tree_leaves(g))
+    assert norm > 0
+
+    cfg.model.hidden_dims = [32, 16]
+    with pytest.raises(ValueError, match="uniform"):
+        PINNModel(cfg, seed=0)
