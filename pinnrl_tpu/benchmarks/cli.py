@@ -97,6 +97,10 @@ def main(argv=None) -> int:
     )
     p_c.add_argument("--epochs", type=int, default=None, help="Override recipe epochs")
     p_c.add_argument("--seed", type=int, default=0)
+    p_c.add_argument(
+        "--time-marching", type=int, default=0, metavar="N_WINDOWS",
+        help="Train N sequential time windows (IC inherited between windows)",
+    )
     p_c.add_argument("--csv", default=None)
     p_c.set_defaults(func=_convergence_command)
 
@@ -109,10 +113,17 @@ def _convergence_command(args) -> int:
         RECIPES,
         results_to_csv,
         run_convergence,
+        run_time_marching,
     )
 
     pdes = list(RECIPES) if args.pde == "all" else [args.pde]
-    results = [run_convergence(p, seed=args.seed, epochs=args.epochs) for p in pdes]
+    if args.time_marching:
+        results = [
+            run_time_marching(p, seed=args.seed, n_windows=args.time_marching)
+            for p in pdes
+        ]
+    else:
+        results = [run_convergence(p, seed=args.seed, epochs=args.epochs) for p in pdes]
     rows = [
         (r.pde, r.architecture, r.epochs, f"{r.rel_l2:.3e}", f"{r.max_error:.3e}",
          f"{r.wall_time_s:.0f}", f"{r.points_per_sec:.0f}")
