@@ -52,23 +52,23 @@ RECIPES: Dict[str, dict] = {
     "kdv": dict(
         arch="fourier",
         model=dict(hidden_dims=[256, 256, 256], mapping_size=128, scale=2.0),
-        # Recipe history (measured, seed 0): f32 adam plateaus at 3.7e-3 and
-        # then OVERFITS the f32 jet-noise (3000 epochs: loss 1.6e-7 but
-        # rel-L2 back up to 5.0e-3); a fixed-batch f64 L-BFGS polish
-        # overfits its own 2048-pt batch (loss 7e-8, rel-L2 5.1e-3). The
-        # escape is phase-2 ADAM with FRESH per-step batches in f64 (on the
-        # host CPU backend — XLA:TPU has no native f64): the only variant
-        # where lower train loss keeps lowering whole-domain rel-L2.
+        # Shipping recipe = the best of an exhaustive probe matrix (seed 0,
+        # rel-L2): annealed adam-1500 3.7e-3 <- THIS | adam-3000 5.0e-3
+        # (overfits the f32 jet-noise: train loss down 7x, error UP) |
+        # 512-wide 7.3e-3, 128-wide 8.4e-3 (capacity sweet spot is 256) |
+        # causal eps=1 4.1e-3 | f64 L-BFGS polish 5.1e-3 (overfits its
+        # fixed batch) | f64 fresh-batch adam phase-2 4.1-5.5e-3 |
+        # time-marching 4x1000 9.5e-3 (inherited-IC error compounds) |
+        # residual weight 100: 4.2e-3 | RAR 4.6e-3. The 3.7e-3 floor is
+        # dispersive ill-conditioning (error = smooth far-field radiation
+        # growing with t, residual RMS ~2.6e-4 in BOTH f32 and f64), not a
+        # precision or capacity limit; every train-loss improvement beyond
+        # this point decouples from the whole-domain error.
         training=dict(
-            num_epochs=2000, num_collocation_points=40000, batch_size=8192,
-            # 1500 fully-annealed f32 adam epochs (phase-1 cosine spans its
-            # own phase) + 500 f64 fresh-batch adam epochs at 3e-4 cosine->0.
-            optimizer="adam_lbfgs", adam_lbfgs_switch_ratio=0.75,
-            phase2_optimizer="adam", phase2_learning_rate=3e-4,
+            num_epochs=1500, num_collocation_points=40000, batch_size=8192,
+            optimizer="adam",
             num_boundary_points=4096, num_initial_points=4096,
             learning_rate=2e-3, weight_decay=0.0,
-            residual_dtype="float64",
-            lbfgs_batch_size=2048,  # phase-2 per-step batch
         ),
     ),
     "wave": dict(
