@@ -76,6 +76,9 @@ def create_module(model_cfg: ModelConfig):
             scale=float(ap.get("scale", 4.0)),
             periodic=bool(ap.get("periodic", True)),
             modified=bool(ap.get("modified", False)),
+            feature_seed=(
+                int(ap["feature_seed"]) if ap.get("feature_seed") is not None else None
+            ),
             activation=model_cfg.activation,
             dropout=model_cfg.dropout,
             layer_norm=model_cfg.layer_norm,

@@ -102,3 +102,25 @@ def test_fourier_modified_mlp_forward_and_grads():
     cfg.model.hidden_dims = [32, 16]
     with pytest.raises(ValueError, match="uniform"):
         PINNModel(cfg, seed=0)
+
+
+def test_fourier_feature_seed_pins_basis():
+    """arch_params.feature_seed pins the random-feature basis across model
+    seeds (the basis is an architecture hyperparameter, not a trainable)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pinnrl_tpu.config import load_config
+
+    def basis(model_seed, feature_seed):
+        cfg = load_config(pde_type="heat", architecture="fourier")
+        cfg.model.hidden_dims = [8, 8]
+        cfg.model.arch_params.update(mapping_size=4, feature_seed=feature_seed)
+        m = PINNModel(cfg, seed=model_seed)
+        return np.asarray(m.constants["constants"]["FourierFeatures_0"]["B"])
+
+    b0 = basis(0, 7)
+    b1 = basis(1, 7)
+    np.testing.assert_array_equal(b0, b1)  # same basis across model seeds
+    b2 = basis(0, 8)
+    assert not np.array_equal(b0, b2)  # different feature seed -> new basis
