@@ -105,7 +105,14 @@ def _train_one(
         )
         rl_state = agent.init(jax.random.PRNGKey(seed + 1))
 
-    opt = optax.adam(lr)
+    # Cosine-annealed adam over the full horizon: a constant lr never gets
+    # the steep-front problems out of their noise equilibrium (measured:
+    # rel-L2 ~0.6 for EVERY strategy at 2500 constant-lr steps — an
+    # artifact that demonstrates nothing).
+    opt = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adam(optax.cosine_decay_schedule(lr, epochs)),
+    )
     params = model.params
     opt_state = opt.init(params)
 
@@ -119,8 +126,8 @@ def _train_one(
             return pde.generate_collocation_points(k2, batch, strategy, score_fn=sfn)
         return pde.generate_collocation_points(key, batch, strategy)
 
-    @jax.jit
-    def step(params, opt_state, rl_st, key):
+    def step(carry, _):
+        params, opt_state, rl_st, key = carry
         key, k_s, k_l, k_rl = jax.random.split(key, 4)
         x, t = sample(k_s, params, rl_st)
 
@@ -129,7 +136,7 @@ def _train_one(
             return losses["total"], losses
 
         (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = opt.update(grads, opt_state)
+        updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         if agent is not None:
             n = min(128, batch)
@@ -138,22 +145,33 @@ def _train_one(
             reward = agent.compute_reward(
                 jnp.abs(res), losses["boundary"], losses["initial"]
             )
-            # Bandit transitions (done=1) + one epsilon step per epoch
+            # Bandit transitions (done=1) + one epsilon step per step
             # (this harness runs one batch step per epoch).
             rl_st = agent.update(rl_st, pts, reward, pts, jnp.ones(()), k_rl)
             rl_st = agent.update_epsilon(rl_st)
-        return params, opt_state, rl_st, key, loss
+        return (params, opt_state, rl_st, key), loss
+
+    # Fuse steps into lax.scan chunks: per-step Python dispatch over the
+    # remote TPU tunnel costs ~25 ms, which would dominate the benchmark
+    # (the trainer and bench.py fuse for the same reason).
+    INNER = 100
+
+    @jax.jit
+    def chunk(carry):
+        return jax.lax.scan(step, carry, None, length=INNER)
 
     key = jax.random.PRNGKey(seed)
+    carry = (params, opt_state, rl_state, key)
     # Warm-up compile outside the timed region.
-    params_w, opt_w, rl_w, key_w, _ = step(params, opt_state, rl_state, key)
-    jax.block_until_ready(params_w)
+    carry_w, _ = chunk(carry)
+    jax.block_until_ready(carry_w[0])
 
     t0 = time.perf_counter()
-    loss = jnp.inf
-    for _ in range(epochs):
-        params, opt_state, rl_state, key, loss = step(params, opt_state, rl_state, key)
-    loss = float(jax.block_until_ready(loss))
+    losses_tail = None
+    for _ in range(max(epochs // INNER, 1)):
+        carry, losses_tail = chunk(carry)
+    params, opt_state, rl_state, _ = carry
+    loss = float(jax.block_until_ready(losses_tail)[-1])
     wall = time.perf_counter() - t0
 
     x_grid, t_grid = _fixed_validation_grid(pde)

@@ -41,7 +41,10 @@ def test_stratified_coverage():
 
 
 def test_rar_concentrates_on_high_residual():
-    # Residual is large only for x > 0.5: samples should concentrate there.
+    # Residual is large only for x > 0.5. With the RAD uniform floor (c=1,
+    # Wu et al. 2023) about half the mass stays uniform, so concentration
+    # sits between the uniform 0.5 and full: pure proportional draws starve
+    # BC/IC regions and lose to uniform on real problems.
     def residual_fn(x, t):
         return jnp.where(x > 0.5, 100.0, 0.001)
 
@@ -49,8 +52,15 @@ def test_rar_concentrates_on_high_residual():
         jax.random.PRNGKey(0), 256, DOMAIN, TIME, residual_fn=residual_fn
     )
     frac_high = float(jnp.mean(x > 0.5))
-    assert frac_high > 0.9
+    assert 0.55 < frac_high < 0.95
     _check_bounds(x, t)
+
+    # uniform_floor=0 restores pure residual-proportional draws.
+    x, t = sample_residual_based(
+        jax.random.PRNGKey(0), 256, DOMAIN, TIME,
+        residual_fn=residual_fn, uniform_floor=0.0,
+    )
+    assert float(jnp.mean(x > 0.5)) > 0.9
 
 
 def test_rar_uniform_fallback():
@@ -65,7 +75,9 @@ def test_adaptive_with_mock_agent():
         return jnp.where(grid[:, -1] < 0.5, 10.0, 0.01)
 
     x, t = sample_adaptive(jax.random.PRNGKey(0), 256, DOMAIN, TIME, score_fn=score_fn)
-    assert float(jnp.mean(t < 0.6)) > 0.8
+    # Floored (see sample_residual_based): above the uniform 0.6 mass of
+    # the strip, below full concentration.
+    assert 0.62 < float(jnp.mean(t < 0.6)) < 0.97
     _check_bounds(x, t)
 
 
