@@ -64,7 +64,11 @@ RECIPES: Dict[str, dict] = {
         # causal eps=1 4.1e-3 | f64 L-BFGS polish 5.1e-3 (overfits its
         # fixed batch) | f64 fresh-batch adam phase-2 4.1-5.5e-3 |
         # time-marching 4x1000 9.5e-3 (inherited-IC error compounds) |
-        # residual weight 100: 4.2e-3 | RAR 4.6e-3. The 3.7e-3 floor is
+        # residual weight 100: 4.2e-3 | RAR 4.6e-3 | co-moving frame
+        # (arch_params.moving_frame_speed=1.0) 2.3e-2 @500ep — the frame
+        # reshuffles the pinned basis lottery and the dominant error is
+        # far-field radiation, which is NOT steady in the frame.
+        # The 3.7e-3 floor is
         # dispersive ill-conditioning (error = smooth far-field radiation
         # growing with t, residual RMS ~2.6e-4 in BOTH f32 and f64), not a
         # precision or capacity limit; every train-loss improvement beyond
@@ -137,7 +141,7 @@ def build_recipe_config(pde_key: str, epochs: Optional[int] = None):
     cfg.model.hidden_dims = list(m.get("hidden_dims", cfg.model.hidden_dims))
     for k in (
         "mapping_size", "scale", "omega_0", "hidden_dim", "num_blocks",
-        "modified", "periodic", "feature_seed",
+        "modified", "periodic", "feature_seed", "moving_frame_speed",
     ):
         if k in m:
             cfg.model.arch_params[k] = m[k]

@@ -140,6 +140,20 @@ class PINNModel:
         self._in_lo = jnp.asarray(lo, jnp.float32)
         self._in_scale = 2.0 / (jnp.asarray(hi, jnp.float32) - self._in_lo)
 
+        # Co-moving-frame preconditioning (new capability beyond the
+        # reference): arch_params.moving_frame_speed = c maps physical
+        # inputs (x, t) -> (x - c t, t) before normalization and the
+        # network. An invertible linear change of coordinates — no
+        # information is lost, and derivatives w.r.t. physical coordinates
+        # flow through the chain rule automatically — but the network then
+        # represents the solution in the frame where a traveling structure
+        # (KdV soliton, Burgers shock at speed c from the PDE coefficients)
+        # is near-steady: the standard characteristic-embedding trick for
+        # advection-dominated PINNs. Architecture-agnostic; the last input
+        # column is time, matching the PDE base's (x_0..x_{d-1}, t) layout.
+        mf = model_cfg.arch_params.get("moving_frame_speed")
+        self._frame_speed = float(mf) if mf is not None else None
+
         rng = rng if rng is not None else jax.random.PRNGKey(seed)
         dummy = jnp.zeros((1, model_cfg.input_dim), jnp.float32)
         variables = self.module.init(rng, dummy)
@@ -150,6 +164,9 @@ class PINNModel:
 
     def apply(self, params, x, deterministic: bool = True):
         """Pure forward pass: ``x`` is (..., input_dim); works point-wise or batched."""
+        if self._frame_speed is not None:
+            xs, t = x[..., :-1], x[..., -1:]
+            x = jnp.concatenate([xs - self._frame_speed * t, t], axis=-1)
         x = (x - self._in_lo) * self._in_scale - 1.0
         return self.module.apply(
             {"params": params, **self.constants}, x, deterministic=deterministic

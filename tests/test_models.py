@@ -124,3 +124,34 @@ def test_fourier_feature_seed_pins_basis():
     np.testing.assert_array_equal(b0, b1)  # same basis across model seeds
     b2 = basis(0, 8)
     assert not np.array_equal(b0, b2)  # different feature seed -> new basis
+
+
+def test_moving_frame_is_input_shift():
+    """arch_params.moving_frame_speed=c must equal the plain model evaluated
+    at the shifted coordinate (x - c t, t): a pure, invertible input-space
+    preconditioning, so parameters/init are unchanged."""
+    from pinnrl_tpu.config import load_config
+
+    def build(speed):
+        cfg = load_config(pde_type="kdv", architecture="fourier")
+        cfg.model.hidden_dims = [16, 16]
+        cfg.model.arch_params.update(mapping_size=8, feature_seed=0)
+        if speed is not None:
+            cfg.model.arch_params["moving_frame_speed"] = speed
+        return PINNModel(cfg, seed=0)
+
+    plain, framed = build(None), build(1.5)
+    chex_tree_equal = jax.tree_util.tree_all(
+        jax.tree_util.tree_map(
+            lambda a, b: jnp.array_equal(a, b), plain.params, framed.params
+        )
+    )
+    assert chex_tree_equal  # preconditioning does not touch parameters
+
+    xt = jnp.array([[0.3, 0.7], [-1.2, 2.0], [4.0, 0.0]], jnp.float32)
+    shifted = xt.at[:, 0].add(-1.5 * xt[:, 1])
+    np.testing.assert_allclose(
+        np.asarray(framed.apply(framed.params, xt)),
+        np.asarray(plain.apply(plain.params, shifted)),
+        rtol=1e-6,
+    )
