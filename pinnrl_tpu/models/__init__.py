@@ -154,6 +154,18 @@ class PINNModel:
         mf = model_cfg.arch_params.get("moving_frame_speed")
         self._frame_speed = float(mf) if mf is not None else None
 
+        # Optional output transform u(z) = g(z, net(z)) applied in PHYSICAL
+        # coordinates after the network (new capability beyond the
+        # reference). The canonical use is hard initial-condition
+        # imposition, u = u0(x) + tanh(t/T) * net(x, t), which satisfies the
+        # IC exactly by construction — the standard fix when the dominant
+        # error mode is IC-seeded and amplified over the time horizon
+        # (dispersive PDEs like KdV). Must be a pure jax function; it is
+        # traced into every jitted loss/residual since PINNModel.apply is
+        # the single forward choke point, and derivatives w.r.t. physical
+        # coordinates flow through it automatically.
+        self.output_transform: Optional[Callable] = None
+
         rng = rng if rng is not None else jax.random.PRNGKey(seed)
         dummy = jnp.zeros((1, model_cfg.input_dim), jnp.float32)
         variables = self.module.init(rng, dummy)
@@ -164,13 +176,17 @@ class PINNModel:
 
     def apply(self, params, x, deterministic: bool = True):
         """Pure forward pass: ``x`` is (..., input_dim); works point-wise or batched."""
+        z = x
         if self._frame_speed is not None:
             xs, t = x[..., :-1], x[..., -1:]
             x = jnp.concatenate([xs - self._frame_speed * t, t], axis=-1)
         x = (x - self._in_lo) * self._in_scale - 1.0
-        return self.module.apply(
+        out = self.module.apply(
             {"params": params, **self.constants}, x, deterministic=deterministic
         )
+        if self.output_transform is not None:
+            out = self.output_transform(z, out)
+        return out
 
     def __call__(self, x):
         return self.apply(self.params, x)

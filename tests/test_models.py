@@ -155,3 +155,33 @@ def test_moving_frame_is_input_shift():
         np.asarray(plain.apply(plain.params, shifted)),
         rtol=1e-6,
     )
+
+
+def test_output_transform_hard_ic():
+    """model.output_transform composes in physical coordinates after the
+    network; the hard-IC form u0(x) + tanh(t)*net satisfies the IC exactly
+    at t=0 regardless of parameters."""
+    from pinnrl_tpu.config import load_config
+
+    cfg = load_config(pde_type="kdv", architecture="fourier")
+    cfg.model.hidden_dims = [16, 16]
+    cfg.model.arch_params.update(mapping_size=8)
+    m = PINNModel(cfg, seed=0)
+
+    u0 = lambda xs: 0.5 / jnp.cosh(0.5 * xs) ** 2
+    m.output_transform = lambda z, out: u0(z[..., 0:1]) + jnp.tanh(z[..., -1:]) * out
+
+    x = jnp.linspace(-10.0, 10.0, 7).reshape(-1, 1)
+    z0 = jnp.concatenate([x, jnp.zeros_like(x)], axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(m.apply(m.params, z0)), np.asarray(u0(x)), atol=1e-7
+    )  # exact IC at t=0
+
+    z1 = jnp.concatenate([x, jnp.full_like(x, 2.0)], axis=-1)
+    m_plain = PINNModel(cfg, seed=0)
+    raw = m_plain.apply(m_plain.params, z1)
+    np.testing.assert_allclose(
+        np.asarray(m.apply(m.params, z1)),
+        np.asarray(u0(x) + jnp.tanh(2.0) * raw),
+        rtol=1e-6,
+    )  # transform composes after the (unchanged-params) network
