@@ -67,7 +67,11 @@ RECIPES: Dict[str, dict] = {
         # residual weight 100: 4.2e-3 | RAR 4.6e-3 | co-moving frame
         # (arch_params.moving_frame_speed=1.0) 2.3e-2 @500ep — the frame
         # reshuffles the pinned basis lottery and the dominant error is
-        # far-field radiation, which is NOT steady in the frame.
+        # far-field radiation, which is NOT steady in the frame | hard-IC
+        # output transform u0 + tanh(t)*net 1.74e-2 @500ep, 1.23e-2 @1500ep
+        # (train loss reaches the 1.3e-6 floor yet error is 3x WORSE than
+        # the soft-IC recipe: the tanh(t) envelope injects t-structure the
+        # net must cancel, and the radiation mode is not IC-seeded).
         # The 3.7e-3 floor is
         # dispersive ill-conditioning (error = smooth far-field radiation
         # growing with t, residual RMS ~2.6e-4 in BOTH f32 and f64), not a
