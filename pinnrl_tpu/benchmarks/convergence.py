@@ -120,7 +120,13 @@ RECIPES: Dict[str, dict] = {
     ),
     "heat_2d": dict(
         arch="fourier",
-        model=dict(hidden_dims=[256, 256, 256], mapping_size=128, scale=2.0),
+        # Round-2 sweep (1000-epoch probes, seed 0): the 1D default scale=2.0
+        # is far too high-frequency for the single smooth 2D sine mode —
+        # scale 2.0: 1.0e-1 | 1.0: 3.3e-3 | 0.75: 2.4e-3 | 0.5: 1.9e-3 |
+        # 0.35: 1.9e-3 (plateau; ship mid-plateau 0.5). Boosting BC/IC
+        # weights to 100 HURTS at every scale (e.g. 8.3e-3 at scale 1.0)
+        # vs the config defaults res=15/bc=20/ic=10.
+        model=dict(hidden_dims=[256, 256, 256], mapping_size=128, scale=0.5),
         training=dict(
             num_epochs=3000, num_collocation_points=40000, batch_size=8192,
             num_boundary_points=8192, num_initial_points=8192,
