@@ -62,6 +62,7 @@ def sample_residual_based(
     pool_factor: int = 4,
     eps: float = 1e-8,
     uniform_floor: float = 1.0,
+    chunk_size: int = 8192,
 ) -> Tuple[jax.Array, jax.Array]:
     """Residual-Adaptive Refinement: draw a ``pool_factor * n`` uniform pool,
     evaluate |residual|, resample n points with probability
@@ -74,12 +75,27 @@ def sample_residual_based(
     draws starve the BC/IC and smooth regions — measured on the Burgers
     traveling wave it LOSES to uniform (6.0e-3 vs 2.2e-3 rel-L2) while the
     floored form wins.
+
+    Pools larger than ``chunk_size`` are evaluated sequentially via
+    ``lax.map`` (the pool is rounded up to a whole number of chunks):
+    order-3 residual jets over a 4x pool of >=32k points otherwise
+    materialize all tangent buffers at once and exhaust HBM.
     """
     if residual_fn is None:
         return sample_uniform(key, n, domain, time_domain)
     k_pool, k_pick = jax.random.split(key)
-    x_pool, t_pool = sample_uniform(k_pool, pool_factor * n, domain, time_domain)
-    r = jnp.abs(residual_fn(x_pool, t_pool)).reshape(-1)
+    pool = pool_factor * n
+    if pool > chunk_size:
+        pool = -(-pool // chunk_size) * chunk_size
+    x_pool, t_pool = sample_uniform(k_pool, pool, domain, time_domain)
+    if pool > chunk_size:
+        xs = x_pool.reshape(-1, chunk_size, x_pool.shape[-1])
+        ts = t_pool.reshape(-1, chunk_size, 1)
+        r = jax.lax.map(
+            lambda p: jnp.abs(residual_fn(p[0], p[1])).reshape(-1), (xs, ts)
+        ).reshape(-1)
+    else:
+        r = jnp.abs(residual_fn(x_pool, t_pool)).reshape(-1)
     p = r / (jnp.mean(r) + eps) + uniform_floor
     idx = jax.random.categorical(k_pick, jnp.log(p), shape=(n,))
     return x_pool[idx], t_pool[idx]

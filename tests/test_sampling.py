@@ -63,6 +63,38 @@ def test_rar_concentrates_on_high_residual():
     assert float(jnp.mean(x > 0.5)) > 0.9
 
 
+def test_rar_chunked_pool_matches_unchunked():
+    # Chunking the pool evaluation is a pure memory optimization: with the
+    # same key the pool draw, residual values, and categorical pick are
+    # identical, so the selected points must match exactly.
+    def residual_fn(x, t):
+        return jnp.sin(3.0 * x) * jnp.cos(t)
+
+    kwargs = dict(residual_fn=residual_fn, pool_factor=4)
+    x_a, t_a = sample_residual_based(
+        jax.random.PRNGKey(3), 64, DOMAIN, TIME, chunk_size=32, **kwargs
+    )
+    x_b, t_b = sample_residual_based(
+        jax.random.PRNGKey(3), 64, DOMAIN, TIME, chunk_size=1 << 20, **kwargs
+    )
+    np.testing.assert_allclose(np.asarray(x_a), np.asarray(x_b))
+    np.testing.assert_allclose(np.asarray(t_a), np.asarray(t_b))
+
+
+def test_rar_pool_rounds_up_to_whole_chunks():
+    # n*pool_factor = 300 with chunk_size 128 -> pool padded to 384; output
+    # shape and bounds are unaffected.
+    def residual_fn(x, t):
+        return x + t
+
+    x, t = sample_residual_based(
+        jax.random.PRNGKey(1), 75, DOMAIN, TIME,
+        residual_fn=residual_fn, pool_factor=4, chunk_size=128,
+    )
+    assert x.shape == (75, 1) and t.shape == (75, 1)
+    _check_bounds(x, t)
+
+
 def test_rar_uniform_fallback():
     x, t = sample_residual_based(jax.random.PRNGKey(0), 64, DOMAIN, TIME, residual_fn=None)
     assert x.shape == (64, 1)
