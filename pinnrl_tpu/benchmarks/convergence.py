@@ -158,6 +158,7 @@ def build_recipe_config(pde_key: str, epochs: Optional[int] = None):
     for k in (
         "mapping_size", "scale", "omega_0", "hidden_dim", "num_blocks",
         "modified", "periodic", "feature_seed", "moving_frame_speed",
+        "trainable_features",
     ):
         if k in m:
             cfg.model.arch_params[k] = m[k]

@@ -185,6 +185,16 @@ class TrainingConfig(_DictAccess):
     phase2_optimizer: str = "lbfgs"
     phase2_learning_rate: float = 1.0e-4
     scheduler_type: str = "cosine"
+    # Deep-ensemble training (new capability beyond the reference):
+    # ensemble_size E > 1 trains E independently-initialized copies of the
+    # network in ONE fused program — the whole epoch scan is jax.vmap'd over
+    # a stacked parameter pytree, so the members run as a single batched
+    # XLA computation (near-free on the MXU at PINN-sized matmuls) — and
+    # predicts with the ensemble MEAN. Averaging M decorrelated error
+    # fields cuts the init-lottery variance that dominates dispersive
+    # problems (KdV) at the ~1e-3 rel-L2 scale. Members see independent
+    # collocation/BC/IC batches and independent optimizer states.
+    ensemble_size: int = 1
     loss_weights: Dict[str, float] = field(
         default_factory=lambda: {
             "residual": 15.0,
@@ -223,6 +233,10 @@ class TrainingConfig(_DictAccess):
             raise ValueError(
                 "training.residual_dtype must be float32 or float64, "
                 f"got {self.residual_dtype!r}"
+            )
+        if int(self.ensemble_size) < 1:
+            raise ValueError(
+                f"training.ensemble_size must be >= 1, got {self.ensemble_size!r}"
             )
         # Normalize legacy "pde" key to "residual" (reference: config/__init__.py:523-527).
         if "pde" in self.loss_weights and "residual" not in self.loss_weights:

@@ -82,7 +82,7 @@ _ROWS = [
     ),
     (
         "MHD_64",
-        "3D magneto-hydrodynamic turbulence at 64^3 resolution.",
+        "Turbulent 3D MHD box (64^3 grid): coupled velocity and magnetic fields.",
         3,
         ("density", "velocity_x", "velocity_y", "velocity_z",
          "magnetic_x", "magnetic_y", "magnetic_z"),
@@ -90,7 +90,7 @@ _ROWS = [
     ),
     (
         "gray_scott_reaction_diffusion",
-        "2D Gray-Scott reaction-diffusion (pattern formation).",
+        "Two-species Gray-Scott system in 2D: self-organizing spot/stripe patterns.",
         2, ("A", "B"), _U2, None, "fno", "data_only",
     ),
     (
@@ -101,19 +101,19 @@ _ROWS = [
     ),
     (
         "viscoelastic_instability",
-        "2D viscoelastic flow showing elastic turbulence.",
+        "Elastic-turbulence regime of a 2D viscoelastic channel flow (conformation tensor + velocity).",
         2, ("c_xx", "c_xy", "c_yy", "pressure", "velocity_x", "velocity_y"),
         _U2, None, "fno", "data_only",
     ),
     (
         "acoustic_scattering_maze",
-        "2D acoustic wave scattering through a maze geometry.",
+        "Pressure waves threading a 2D maze of rigid walls (acoustic scattering).",
         2, ("pressure", "velocity_x", "velocity_y"),
         _U2, "wave", "fno", "data_augmented",
     ),
     (
         "helmholtz_staircase",
-        "2D Helmholtz scattering on a staircase domain.",
+        "Time-harmonic (Helmholtz) field over a 2D staircase boundary, real+imaginary parts.",
         2, ("real", "imaginary"), _U2, "wave", "fno", "data_augmented",
     ),
     (

@@ -79,6 +79,7 @@ def create_module(model_cfg: ModelConfig):
             feature_seed=(
                 int(ap["feature_seed"]) if ap.get("feature_seed") is not None else None
             ),
+            trainable_features=bool(ap.get("trainable_features", False)),
             activation=model_cfg.activation,
             dropout=model_cfg.dropout,
             layer_norm=model_cfg.layer_norm,
@@ -173,6 +174,17 @@ class PINNModel:
             k: v for k, v in variables.items() if k != "params"
         }
         self.params = variables["params"]
+        # ndim of a single-member parameter leaf: an ensemble-stacked pytree
+        # (training.ensemble_size > 1) has every leaf one axis deeper, which
+        # is how ``apply`` recognizes it (see is_ensemble_params).
+        self._single_leaf_ndim = jax.tree_util.tree_leaves(self.params)[0].ndim
+
+    def is_ensemble_params(self, params) -> bool:
+        """True when ``params`` is a stacked deep-ensemble pytree (leading
+        member axis on every leaf), as produced by PDETrainer with
+        ``training.ensemble_size > 1``."""
+        leaves = jax.tree_util.tree_leaves(params)
+        return bool(leaves) and leaves[0].ndim == self._single_leaf_ndim + 1
 
     def apply(self, params, x, deterministic: bool = True):
         """Pure forward pass: ``x`` is (..., input_dim); works point-wise or batched."""
@@ -181,9 +193,22 @@ class PINNModel:
             xs, t = x[..., :-1], x[..., -1:]
             x = jnp.concatenate([xs - self._frame_speed * t, t], axis=-1)
         x = (x - self._in_lo) * self._in_scale - 1.0
-        out = self.module.apply(
-            {"params": params, **self.constants}, x, deterministic=deterministic
-        )
+        if self.is_ensemble_params(params):
+            # Deep-ensemble prediction: mean over the stacked member axis.
+            # Members were trained independently (see PDETrainer); the mean
+            # predictor averages out decorrelated per-init error fields.
+            out = jnp.mean(
+                jax.vmap(
+                    lambda p: self.module.apply(
+                        {"params": p, **self.constants}, x, deterministic=deterministic
+                    )
+                )(params),
+                axis=0,
+            )
+        else:
+            out = self.module.apply(
+                {"params": params, **self.constants}, x, deterministic=deterministic
+            )
         if self.output_transform is not None:
             out = self.output_transform(z, out)
         return out

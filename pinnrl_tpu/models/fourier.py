@@ -32,21 +32,31 @@ class FourierFeatures(nn.Module):
     # frequency coverage — on KdV the basis lottery alone swings rel-L2
     # 3.7e-3 <-> 2.8e-2 across seeds.
     feature_seed: int | None = None
+    # Trainable basis: B lives in the "params" collection and receives
+    # gradients, so optimization can move frequency coverage to where the
+    # solution needs it instead of gambling on the init lottery. Also the
+    # hook for per-member basis diversity in deep ensembles (each member's
+    # init rng draws its own B when feature_seed is None).
+    trainable: bool = False
 
     @nn.compact
     def __call__(self, x):
         in_dim = x.shape[-1]
-        B = self.variable(
-            "constants",
-            "B",
-            lambda: self.scale
-            * jax.random.normal(
+
+        def _draw(rng):
+            return self.scale * jax.random.normal(
                 jax.random.PRNGKey(self.feature_seed)
                 if self.feature_seed is not None
-                else self.make_rng("params"),
+                else rng,
                 (in_dim, self.mapping_size),
-            ),
-        ).value
+            )
+
+        if self.trainable:
+            B = self.param("B", _draw)
+        else:
+            B = self.variable(
+                "constants", "B", lambda: _draw(self.make_rng("params"))
+            ).value
         if x.ndim == 2:
             # Fused Pallas kernel (projection + sin/cos in one VMEM pass)
             # with an analytic custom_jvp for the nested-AD residual path.
@@ -77,6 +87,7 @@ class FourierNetwork(nn.Module):
     # arch_params["modified"] = true. New capability beyond the reference.
     modified: bool = False
     feature_seed: int | None = None  # see FourierFeatures.feature_seed
+    trainable_features: bool = False  # see FourierFeatures.trainable
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -84,6 +95,7 @@ class FourierNetwork(nn.Module):
         x = FourierFeatures(
             self.mapping_size, self.scale, self.periodic,
             feature_seed=self.feature_seed,
+            trainable=self.trainable_features,
         )(x)
         if self.modified:
             widths = set(self.hidden_dims)

@@ -378,11 +378,28 @@ class PDETrainer:
             out["pts"] = pts
             return state, out
 
+        ens = 1 if lbfgs else int(self.tcfg.ensemble_size)
+
         def chunk_fn(state, n_epochs_in_chunk):
             # Fuse a whole validation interval of epochs into ONE device
             # call: the host syncs once per chunk instead of 7+ times per
             # epoch (each transfer over the TPU tunnel costs ~10s of ms).
-            return jax.lax.scan(epoch_fn, state, None, length=n_epochs_in_chunk)
+            def run(st):
+                return jax.lax.scan(epoch_fn, st, None, length=n_epochs_in_chunk)
+
+            if ens > 1:
+                # Deep ensemble: vmap the WHOLE fused chunk over the stacked
+                # member axis — E independent trainings (independent batches,
+                # grads, optimizer states) execute as one batched XLA
+                # program. History metrics report the member mean.
+                st, metrics = jax.vmap(run)(state)
+                pts = metrics.pop("pts")[0]
+                metrics = jax.tree_util.tree_map(
+                    lambda m: jnp.mean(m, axis=0), metrics
+                )
+                metrics["pts"] = pts
+                return st, metrics
+            return run(state)
 
         # NOTE: no donate_argnums here. With buffer donation the axon TPU
         # backend returned a final scan carry inconsistent with the metrics
@@ -450,12 +467,83 @@ class PDETrainer:
     # ------------------------------------------------------------------ #
 
     def _build_val_fn(self, num_points: int = 1000):
+        ens = int(self.tcfg.ensemble_size)
+
         def val_fn(params, key):
             x, t = self.pde.generate_collocation_points(key, num_points, "uniform")
+            if ens > 1:
+                # Mean member loss on a SHARED validation batch.
+                totals = jax.vmap(
+                    lambda p: self._loss_components(p, x, t, key)["total"]
+                )(params)
+                return jnp.mean(totals)
             losses = self._loss_components(params, x, t, key)
             return losses["total"]
 
         return jax.jit(val_fn)
+
+    # ------------------------------------------------------------------ #
+    # Deep ensemble (training.ensemble_size > 1)
+    # ------------------------------------------------------------------ #
+
+    def _validate_ensemble(self) -> None:
+        """Constraint check for vmapped ensemble training. The vmap wraps the
+        plain-adam fused chunk; stateful host-side phases (L-BFGS switch,
+        plateau scheduler), the on-device DQN, adaptive loss weights, the
+        device mesh, and the f64 CPU polish are out of scope and raise
+        loudly rather than train something subtly different."""
+        t = self.tcfg
+        bad = []
+        if self.optimizer_name != "adam":
+            bad.append("optimizer must be 'adam'")
+        if t.collocation_distribution == "adaptive":
+            bad.append("collocation_distribution 'adaptive' (DQN) unsupported")
+        if self.aw_enabled:
+            bad.append("adaptive_weights must be disabled")
+        if self.mesh is not None:
+            bad.append("device-mesh data parallelism unsupported")
+        if t.scheduler_type not in ("cosine", "constant"):
+            bad.append(f"scheduler_type {t.scheduler_type!r} unsupported")
+        if t.residual_dtype != "float32":
+            bad.append("residual_dtype must be float32")
+        if bad:
+            raise ValueError(
+                "training.ensemble_size > 1 constraints violated: " + "; ".join(bad)
+            )
+
+    def _stack_ensemble_state(self, state: Dict, optimizer, seed: int) -> Dict:
+        """Build the stacked (leading member axis) training state: fresh
+        per-member network inits, per-member optimizer state and PRNG keys,
+        and tiled copies of everything else."""
+        E = int(self.tcfg.ensemble_size)
+        dummy = jnp.zeros((1, self.model.config.input_dim), jnp.float32)
+        member_keys = jax.vmap(
+            lambda m: jax.random.fold_in(jax.random.PRNGKey(seed), m)
+        )(jnp.arange(E))
+        net = jax.vmap(lambda k: self.model.module.init(k, dummy)["params"])(
+            member_keys
+        )
+
+        def tile(a):
+            a = jnp.asarray(a)
+            return jnp.stack([a] * E)
+
+        params = {
+            "net": net,
+            "coeffs": jax.tree_util.tree_map(tile, state["params"]["coeffs"]),
+        }
+        return {
+            "params": params,
+            "opt_state": jax.vmap(optimizer.init)(params),
+            "aw": jax.tree_util.tree_map(tile, state["aw"]),
+            "rl": state["rl"],  # () — the DQN is excluded by _validate_ensemble
+            "key": jax.vmap(
+                lambda m: jax.random.fold_in(state["key"], m)
+            )(jnp.arange(E)),
+            "lbfgs_key": jax.vmap(
+                lambda m: jax.random.fold_in(state["lbfgs_key"], m)
+            )(jnp.arange(E)),
+        }
 
     # ------------------------------------------------------------------ #
     # Train driver
@@ -550,6 +638,9 @@ class PDETrainer:
         state = jax.tree_util.tree_map(jnp.array, state)
         if lbfgs_mode:
             state = self._maybe_commit_f64_state(state)
+        if int(t.ensemble_size) > 1:
+            self._validate_ensemble()
+            state = self._stack_ensemble_state(state, optimizer, seed)
 
         start_epoch = 0
         if resume_from:
@@ -684,7 +775,7 @@ class PDETrainer:
                         # Per-epoch trajectory: pad the chunk with the value at
                         # its end (coeff history is for monitoring cadence).
                         self.history[f"param_{name}"].extend(
-                            [float(coeffs_host[name])] * chunk
+                            [float(np.mean(coeffs_host[name]))] * chunk
                         )
 
                 if not np.isfinite(train_loss):
@@ -742,7 +833,8 @@ class PDETrainer:
         # state in f64; _final_state retains full precision for validation).
         self.model.params = self._demote_f32(state["params"]["net"])
         self.final_coeffs = {
-            k: float(v) for k, v in state["params"]["coeffs"].items()
+            # np.mean: with an ensemble the coeffs carry a member axis.
+            k: float(np.mean(np.asarray(v))) for k, v in state["params"]["coeffs"].items()
         }
         result = {
             "history": self.history,
@@ -893,7 +985,9 @@ class PDETrainer:
             }
         )
         if coeffs:
-            meta["identified_parameters"] = {k: float(v) for k, v in coeffs.items()}
+            meta["identified_parameters"] = {
+                k: float(np.mean(np.asarray(v))) for k, v in coeffs.items()
+            }
         if wall_time_s is not None:
             meta["wall_time_s"] = wall_time_s
         meta_path.write_text(json.dumps(meta, indent=2, default=str))

@@ -185,3 +185,33 @@ def test_output_transform_hard_ic():
         np.asarray(u0(x) + jnp.tanh(2.0) * raw),
         rtol=1e-6,
     )  # transform composes after the (unchanged-params) network
+
+
+def test_fourier_trainable_features():
+    """arch_params.trainable_features=True moves B into the optimized params
+    pytree: it receives gradients and varies with the model init seed."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pinnrl_tpu.config import load_config
+
+    def build(seed):
+        cfg = load_config(pde_type="kdv", architecture="fourier")
+        cfg.model.hidden_dims = [16, 16]
+        cfg.model.arch_params.update(mapping_size=8, trainable_features=True)
+        return PINNModel(cfg, seed=seed)
+
+    m = build(0)
+    assert "B" in m.params["FourierFeatures_0"]
+    assert "constants" not in m.constants or "FourierFeatures_0" not in m.constants.get(
+        "constants", {}
+    )
+    z = jnp.linspace(0.0, 1.0, 8).reshape(4, 2)
+    g = jax.grad(lambda p: jnp.sum(m.apply(p, z) ** 2))(m.params)
+    assert float(jnp.linalg.norm(g["FourierFeatures_0"]["B"])) > 0
+    # Per-seed basis diversity (the deep-ensemble decorrelation hook).
+    assert not np.allclose(
+        np.asarray(m.params["FourierFeatures_0"]["B"]),
+        np.asarray(build(1).params["FourierFeatures_0"]["B"]),
+    )
