@@ -195,6 +195,12 @@ class TrainingConfig(_DictAccess):
     # problems (KdV) at the ~1e-3 rel-L2 scale. Members see independent
     # collocation/BC/IC batches and independent optimizer states.
     ensemble_size: int = 1
+    # Polyak/EMA weight averaging (new capability beyond the reference):
+    # decay d > 0 tracks ema = d*ema + (1-d)*params alongside every adam
+    # step (free on-device; one extra params-sized buffer). The averaged
+    # iterate smooths SGD noise; a phase-2 L-BFGS polish starts FROM the
+    # EMA iterate, otherwise the EMA is the final model. 0 disables.
+    param_ema: float = 0.0
     loss_weights: Dict[str, float] = field(
         default_factory=lambda: {
             "residual": 15.0,
@@ -237,6 +243,10 @@ class TrainingConfig(_DictAccess):
         if int(self.ensemble_size) < 1:
             raise ValueError(
                 f"training.ensemble_size must be >= 1, got {self.ensemble_size!r}"
+            )
+        if not (0.0 <= float(self.param_ema) < 1.0):
+            raise ValueError(
+                f"training.param_ema must be in [0, 1), got {self.param_ema!r}"
             )
         # Normalize legacy "pde" key to "residual" (reference: config/__init__.py:523-527).
         if "pde" in self.loss_weights and "residual" not in self.loss_weights:

@@ -673,17 +673,52 @@ class PDEBase:
         smoothness_loss = jnp.zeros(())
         if float(self._loss_weights().get("smoothness", 0.0)) > 0:
             smoothness_loss = self._fd_smoothness(apply_fn, params, x, t)
+        gpinn_loss = jnp.zeros(())
+        if float(self._loss_weights().get("gpinn", 0.0)) > 0:
+            gpinn_loss = self._gpinn_loss(apply_fn, params, x, t, coeffs)
 
         return self._assemble_total(
-            residual_loss, boundary_loss, initial_loss, smoothness_loss, data_loss
+            residual_loss, boundary_loss, initial_loss, smoothness_loss, data_loss,
+            gpinn_loss,
         )
 
+    def _gpinn_loss(
+        self,
+        apply_fn: Callable,
+        params,
+        x: jax.Array,
+        t: jax.Array,
+        coeffs: Optional[Coeffs] = None,
+    ) -> jax.Array:
+        """Gradient-enhanced residual penalty (gPINN, Yu et al. 2022):
+        mean |grad_z r(z)|^2 over the collocation batch. The exact solution
+        has an identically-zero residual FIELD, so its gradient vanishes
+        too; penalizing grad r forces the learned residual toward flat-zero
+        instead of oscillating around zero — the oscillation is exactly the
+        radiated far-field error that dispersive problems (KdV) amplify over
+        the time horizon. One jacfwd over the point-wise residual: +dim+1
+        forward passes at one-higher derivative order (KdV: order 4, within
+        the engine's jet support). Enable with loss_weights.gpinn > 0
+        (typical 1e-2..1e-1 relative to the residual weight)."""
+        u = self._scalar_u(apply_fn, params)
+        z = jnp.concatenate([x, t], axis=-1)
+
+        def r_point(zz):
+            return self.residual_pointwise(u, zz, coeffs)
+
+        g = jax.vmap(jax.jacfwd(r_point))(z)
+        return jnp.mean(jnp.sum(jnp.reshape(g, (g.shape[0], -1)) ** 2, axis=-1))
+
     def _assemble_total(
-        self, residual_loss, boundary_loss, initial_loss, smoothness_loss, data_loss
+        self, residual_loss, boundary_loss, initial_loss, smoothness_loss, data_loss,
+        gpinn_loss=None,
     ) -> Dict[str, jax.Array]:
         """Mode gating + fixed/adaptive weighting (reference: pde_base.py:1189-1235)."""
+        if gpinn_loss is None:
+            gpinn_loss = jnp.zeros(())
         lw = self._loss_weights()
         smoothness_weight = float(lw.get("smoothness", 0.0))
+        gpinn_weight = float(lw.get("gpinn", 0.0))
         data_weight = float(lw.get("data", 1.0))
         mode = self._training_mode()
         residual_active = 0.0 if mode == "data_only" else 1.0
@@ -697,6 +732,7 @@ class PDEBase:
             "initial": initial_loss,
             "smoothness": smoothness_loss,
             "data": data_loss,
+            "gpinn": gpinn_loss,
         }
 
         aw_enabled = bool(
@@ -711,6 +747,7 @@ class PDEBase:
                 + ic_bc_active * boundary_loss
                 + ic_bc_active * initial_loss
                 + smoothness_weight * smoothness_loss
+                + residual_active * gpinn_weight * gpinn_loss
                 + data_weight * data_loss
             )
         else:
@@ -722,6 +759,7 @@ class PDEBase:
                 + ic_bc_active * w_bc * boundary_loss
                 + ic_bc_active * w_ic * initial_loss
                 + smoothness_weight * smoothness_loss
+                + residual_active * gpinn_weight * gpinn_loss
                 + data_weight * data_loss
             )
         return losses

@@ -71,6 +71,7 @@ class PDETrainer:
         )
 
         self.optimizer_name = self.tcfg.optimizer
+        self._ema_decay = float(getattr(self.tcfg, "param_ema", 0.0))
         self.switch_epoch = (
             int(self.tcfg.adam_lbfgs_switch_ratio * self.tcfg.num_epochs)
             if self.optimizer_name == "adam_lbfgs"
@@ -173,6 +174,7 @@ class PDETrainer:
             + physics * weights[1] * losses["boundary"]
             + physics * weights[2] * losses["initial"]
             + smooth_w * losses["smoothness"]
+            + physics * float(lw.get("gpinn", 0.0)) * losses.get("gpinn", 0.0)
             + data_w * losses["data"]
         )
 
@@ -356,11 +358,21 @@ class PDETrainer:
                 # (reference points_history: trainer.py:564-566).
                 "pts": jnp.concatenate([x[:64], t[:64]], axis=-1),
             }
+            # Polyak/EMA weight averaging on adam phases (the deterministic
+            # L-BFGS polish keeps the EMA frozen — it starts from it instead,
+            # see train()). Elementwise, so it fuses into the update.
+            ema = state["ema"]
+            if self._ema_decay > 0.0 and not lbfgs:
+                d = float(self._ema_decay)  # python float: weak-typed, keeps leaf dtype
+                ema = jax.tree_util.tree_map(
+                    lambda e, p: d * e + (1.0 - d) * p, ema, params["net"]
+                )
             new_state = {
                 "params": params,
                 "opt_state": opt_state,
                 "aw": aw_state,
                 "rl": rl_state,
+                "ema": ema,
                 "key": key,
                 "lbfgs_key": state["lbfgs_key"],
             }
@@ -537,6 +549,11 @@ class PDETrainer:
             "opt_state": jax.vmap(optimizer.init)(params),
             "aw": jax.tree_util.tree_map(tile, state["aw"]),
             "rl": state["rl"],  # () — the DQN is excluded by _validate_ensemble
+            "ema": (
+                jax.tree_util.tree_map(jnp.array, net)
+                if self._ema_decay > 0.0
+                else ()
+            ),
             "key": jax.vmap(
                 lambda m: jax.random.fold_in(state["key"], m)
             )(jnp.arange(E)),
@@ -628,6 +645,13 @@ class PDETrainer:
             "opt_state": optimizer.init(params),
             "aw": self.adaptive_weights.init(),
             "rl": rl_state,
+            # EMA shadow of params["net"] (empty pytree when disabled so the
+            # scan carry stays structure-stable and costs nothing).
+            "ema": (
+                jax.tree_util.tree_map(jnp.array, params["net"])
+                if self._ema_decay > 0.0
+                else ()
+            ),
             "key": key,
             # Round key for the fixed L-BFGS batch (see _build_epoch_fn);
             # refreshed every lbfgs.resample_every epochs during the phase.
@@ -701,10 +725,23 @@ class PDETrainer:
                             ),
                         )
                     steps_per_epoch = 1
+                    if self._ema_decay > 0.0:
+                        # Phase 2 polishes the AVERAGED iterate: the EMA sits
+                        # closer to the basin center than the last noisy
+                        # adam step.
+                        state = {
+                            **state,
+                            "params": {**state["params"], "net": state["ema"]},
+                        }
                     promoted = self._maybe_promote_f64(state["params"])
                     state = {
                         **state,
                         "params": promoted,
+                        "ema": (
+                            jax.tree_util.tree_map(jnp.array, promoted["net"])
+                            if self._ema_decay > 0.0
+                            else ()
+                        ),
                         "opt_state": jax.tree_util.tree_map(
                             jnp.array, optimizer.init(promoted)
                         ),
@@ -829,6 +866,10 @@ class PDETrainer:
                 self._fh = None
 
         wall = time.time() - start_time
+        if self._ema_decay > 0.0 and not lbfgs_mode:
+            # The averaged iterate IS the final model when the last phase is
+            # stochastic (an L-BFGS polish already started from the EMA).
+            state = {**state, "params": {**state["params"], "net": state["ema"]}}
         # Keep the public model contract f32 (an f64 polish phase leaves the
         # state in f64; _final_state retains full precision for validation).
         self.model.params = self._demote_f32(state["params"]["net"])

@@ -1,0 +1,101 @@
+"""Generic recipe probe: run the shipping recipe for a PDE with ad-hoc
+overrides and report rel-L2. The workhorse behind the per-PDE probe
+matrices recorded in pinnrl_tpu/benchmarks/convergence.py.
+
+Usage:
+  python scripts/probe_recipe.py <pde> [key=value ...]
+
+Keys: epochs, seed, scale, mapping_size, modified, hidden, feature_seed,
+      ensemble, ema, causal_eps, lr, optimizer, trainable_features,
+      moving_frame, batch, points
+Appends rows to benchmark_results/probe_matrix.csv
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+from pinnrl_tpu.benchmarks.convergence import build_recipe_config
+from pinnrl_tpu.models import PINNModel
+from pinnrl_tpu.pdes import create_pde
+from pinnrl_tpu.training.trainer import PDETrainer
+
+OUT = Path("benchmark_results/probe_matrix.csv")
+
+
+def parse(args):
+    kv = {}
+    for a in args:
+        k, v = a.split("=", 1)
+        kv[k] = v
+    return kv
+
+
+def main():
+    pde_key = sys.argv[1]
+    kv = parse(sys.argv[2:])
+    epochs = int(kv.pop("epochs", 500))
+    seed = int(kv.pop("seed", 0))
+
+    cfg = build_recipe_config(pde_key, epochs=epochs)
+    ap = cfg.model.arch_params
+    label = [pde_key, f"ep{epochs}", f"s{seed}"]
+    for k, v in kv.items():
+        label.append(f"{k}={v}")
+        if k == "scale":
+            ap["scale"] = float(v)
+        elif k == "mapping_size":
+            ap["mapping_size"] = int(v)
+        elif k == "modified":
+            ap["modified"] = v.lower() in ("1", "true")
+        elif k == "feature_seed":
+            ap["feature_seed"] = None if v == "none" else int(v)
+        elif k == "trainable_features":
+            ap["trainable_features"] = v.lower() in ("1", "true")
+        elif k == "moving_frame":
+            ap["moving_frame_speed"] = float(v)
+        elif k == "hidden":
+            cfg.model.hidden_dims = [int(x) for x in v.split("x")]
+        elif k == "ensemble":
+            cfg.training.ensemble_size = int(v)
+        elif k == "ema":
+            cfg.training.param_ema = float(v)
+        elif k == "causal_eps":
+            cfg.training.causal_eps = float(v)
+        elif k == "lr":
+            cfg.training.optimizer_config.learning_rate = float(v)
+        elif k == "optimizer":
+            cfg.training.optimizer = v
+        elif k == "batch":
+            cfg.training.batch_size = int(v)
+        elif k == "points":
+            cfg.training.num_collocation_points = int(v)
+        elif k == "gpinn":
+            cfg.training.loss_weights["gpinn"] = float(v)
+        else:
+            raise SystemExit(f"unknown key {k}")
+
+    pde = create_pde(cfg)
+    model = PINNModel(cfg, seed=seed)
+    trainer = PDETrainer(model, pde, cfg)
+    t0 = time.perf_counter()
+    res = trainer.train(seed=seed)
+    wall = time.perf_counter() - t0
+    params = trainer._final_state["params"]["net"]
+    val = pde.validate(model.apply, params, num_points=20000)
+    row = (
+        f'{"|".join(label)},{val["rel_l2"]:.6e},{val["max_error"]:.6e},'
+        f'{res["final_train_loss"]:.6e},{wall:.1f}'
+    )
+    OUT.parent.mkdir(exist_ok=True)
+    if not OUT.exists():
+        OUT.write_text("label,rel_l2,max_error,final_train_loss,wall_s\n")
+    with OUT.open("a") as f:
+        f.write(row + "\n")
+    print(row, flush=True)
+
+
+if __name__ == "__main__":
+    main()

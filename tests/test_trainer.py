@@ -271,3 +271,104 @@ def test_phase2_optimizer_validation():
     raw["training"]["phase2_optimizer"] = "sgd"
     with pytest.raises(ValueError, match="phase2_optimizer"):
         Config(config_dict=raw)
+
+
+def test_param_ema_validation():
+    from pinnrl_tpu.config import TrainingConfig
+
+    with pytest.raises(ValueError, match="param_ema"):
+        TrainingConfig(param_ema=1.5)
+
+
+def test_param_ema_tracks_average(tiny_cfg_factory=None):
+    """With decay ~1 the EMA barely moves from the init; with decay 0 the
+    final model is the raw last iterate. Distinguishes the two paths."""
+    import numpy as np
+
+    from pinnrl_tpu.config import load_config
+    from pinnrl_tpu.models import PINNModel
+    from pinnrl_tpu.pdes import create_pde
+    from pinnrl_tpu.training.trainer import PDETrainer
+
+    import jax.numpy as jnp
+
+    def run(ema):
+        cfg = load_config(pde_type="heat", architecture="feedforward")
+        cfg.model.hidden_dims = [16, 16]
+        t = cfg.training
+        t.num_epochs = 4
+        t.num_collocation_points = 64
+        t.batch_size = 64
+        t.num_boundary_points = 16
+        t.num_initial_points = 16
+        t.validation_frequency = 2
+        t.early_stopping.enabled = False
+        t.adaptive_weights.enabled = False
+        t.param_ema = ema
+        model = PINNModel(cfg, seed=0)
+        init = jax.tree_util.tree_leaves(model.params)[0].copy()
+        pde = create_pde(cfg)
+        PDETrainer(model, pde, cfg).train(seed=0)
+        final = jax.tree_util.tree_leaves(model.params)[0]
+        return float(jnp.linalg.norm(final - init))
+
+    moved_raw = run(0.0)
+    moved_ema = run(0.9999)  # ~4*1 steps: EMA stays within (1-d)*steps of init
+    assert moved_ema < moved_raw * 0.1
+    assert moved_ema > 0  # but it did move
+
+
+def test_param_ema_with_lbfgs_phase():
+    """adam_lbfgs + EMA: the polish starts from the EMA iterate and the run
+    completes finite."""
+    from pinnrl_tpu.config import load_config
+    from pinnrl_tpu.models import PINNModel
+    from pinnrl_tpu.pdes import create_pde
+    from pinnrl_tpu.training.trainer import PDETrainer
+
+    cfg = load_config(pde_type="heat", architecture="feedforward")
+    cfg.model.hidden_dims = [16, 16]
+    t = cfg.training
+    t.num_epochs = 6
+    t.num_collocation_points = 64
+    t.batch_size = 64
+    t.num_boundary_points = 16
+    t.num_initial_points = 16
+    t.validation_frequency = 2
+    t.early_stopping.enabled = False
+    t.adaptive_weights.enabled = False
+    t.optimizer = "adam_lbfgs"
+    t.adam_lbfgs_switch_ratio = 0.5
+    t.param_ema = 0.99
+    model = PINNModel(cfg, seed=0)
+    pde = create_pde(cfg)
+    res = PDETrainer(model, pde, cfg).train(seed=0)
+    assert np.isfinite(res["history"]["train_loss"]).all()
+
+
+def test_param_ema_with_ensemble():
+    """EMA composes with the vmapped deep ensemble (stacked shadow)."""
+    from pinnrl_tpu.config import load_config
+    from pinnrl_tpu.models import PINNModel
+    from pinnrl_tpu.pdes import create_pde
+    from pinnrl_tpu.training.trainer import PDETrainer
+
+    cfg = load_config(pde_type="heat", architecture="feedforward")
+    cfg.model.hidden_dims = [16, 16]
+    t = cfg.training
+    t.num_epochs = 4
+    t.num_collocation_points = 64
+    t.batch_size = 64
+    t.num_boundary_points = 16
+    t.num_initial_points = 16
+    t.validation_frequency = 2
+    t.early_stopping.enabled = False
+    t.adaptive_weights.enabled = False
+    t.ensemble_size = 2
+    t.param_ema = 0.99
+    model = PINNModel(cfg, seed=0)
+    pde = create_pde(cfg)
+    trainer = PDETrainer(model, pde, cfg)
+    res = trainer.train(seed=0)
+    assert np.isfinite(res["history"]["train_loss"]).all()
+    assert model.is_ensemble_params(trainer._final_state["params"]["net"])
