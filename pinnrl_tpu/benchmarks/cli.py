@@ -104,8 +104,37 @@ def main(argv=None) -> int:
     p_c.add_argument("--csv", default=None)
     p_c.set_defaults(func=_convergence_command)
 
+    p_i = sub.add_parser("inverse", help="Coefficient-recovery accuracy (inverse mode)")
+    p_i.add_argument("--pde", choices=["heat", "black_scholes", "all"], default="heat")
+    p_i.add_argument("--epochs", type=int, default=None, help="Override recipe epochs")
+    p_i.add_argument("--seed", type=int, default=0)
+    p_i.add_argument("--csv", default=None)
+    p_i.set_defaults(func=_inverse_command)
+
     args = parser.parse_args(argv)
     return args.func(args)
+
+
+def _inverse_command(args) -> int:
+    from pinnrl_tpu.benchmarks.inverse import RECIPES, results_to_csv, run_inverse
+
+    pdes = list(RECIPES) if args.pde == "all" else [args.pde]
+    results = []
+    for p in pdes:
+        results.extend(run_inverse(p, seed=args.seed, epochs=args.epochs))
+    rows = [
+        (r.pde, r.parameter, f"{r.true_value:g}", f"{r.initial_guess:g}",
+         f"{r.identified:.5g}", f"{r.rel_error:.2e}", r.epochs, f"{r.wall_time_s:.0f}")
+        for r in results
+    ]
+    _print_table(
+        rows,
+        ["pde", "param", "truth", "guess", "identified", "rel_err", "epochs", "wall_s"],
+    )
+    if args.csv:
+        Path(args.csv).write_text(results_to_csv(results))
+        print(f"CSV written to {args.csv}")
+    return 0
 
 
 def _convergence_command(args) -> int:

@@ -99,3 +99,28 @@ def test_benchmark_cli_sampling(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "uniform" in out
     assert csv_path.exists()
+
+
+def test_benchmark_cli_inverse(tmp_path, capsys, monkeypatch):
+    from pinnrl_tpu.benchmarks import inverse as inv
+
+    tiny = dict(
+        identify=["alpha"], guesses={"alpha": 0.1}, arch="feedforward",
+        model=dict(hidden_dims=[16, 16]),
+        training=dict(
+            num_epochs=3, num_collocation_points=64, batch_size=32,
+            num_boundary_points=16, num_initial_points=16, learning_rate=1e-2,
+        ),
+        obs=dict(num_points=32, noise=0.0),
+    )
+    monkeypatch.setitem(inv.RECIPES, "heat", tiny)
+    csv_path = tmp_path / "inverse.csv"
+    rc = bench_cli.main(["inverse", "--pde", "heat", "--csv", str(csv_path)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "alpha" in out
+    lines = csv_path.read_text().strip().split("\n")
+    assert lines[0].startswith("pde,parameter,true_value,initial_guess,identified,rel_error")
+    fields = lines[1].split(",")
+    assert fields[0] == "heat" and fields[1] == "alpha"
+    assert float(fields[2]) == 0.01 and np.isfinite(float(fields[5]))
