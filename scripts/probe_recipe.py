@@ -74,6 +74,12 @@ def main():
             cfg.training.num_collocation_points = int(v)
         elif k == "gpinn":
             cfg.training.loss_weights["gpinn"] = float(v)
+        elif k == "w_ic":
+            cfg.training.loss_weights["initial"] = float(v)
+        elif k == "w_bc":
+            cfg.training.loss_weights["boundary"] = float(v)
+        elif k == "w_res":
+            cfg.training.loss_weights["residual"] = float(v)
         else:
             raise SystemExit(f"unknown key {k}")
 

@@ -33,5 +33,6 @@ def test_pde_arch_combo(pde_type, arch):
 
     # Loss assembly: keys + finite total.
     losses = pde.compute_loss(model.apply, model.params, x, t, key=key)
-    assert {"residual", "boundary", "initial", "smoothness", "data", "total"} == set(losses)
+    assert {"residual", "boundary", "initial", "smoothness", "gpinn",
+            "data", "total"} == set(losses)
     assert bool(jnp.isfinite(losses["total"])), f"{pde_type}/{arch} total not finite"

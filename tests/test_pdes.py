@@ -24,7 +24,8 @@ def test_loss_keys_and_finiteness(pde_type):
     key = jax.random.PRNGKey(0)
     x, t = pde.generate_collocation_points(key, 16)
     losses = pde.compute_loss(model.apply, model.params, x, t, key=key)
-    assert set(losses) == {"residual", "boundary", "initial", "smoothness", "data", "total"}
+    assert set(losses) == {"residual", "boundary", "initial", "smoothness",
+                           "gpinn", "data", "total"}
     for k, v in losses.items():
         assert bool(jnp.isfinite(v)), f"{pde_type}:{k} not finite"
 

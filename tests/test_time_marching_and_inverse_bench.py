@@ -1,0 +1,136 @@
+"""Smoke + semantics tests for the time-marching harness and the
+inverse-problem benchmark (reference ships neither; these are new
+capabilities layered on the reference's convergence/inverse workflows,
+reference: pinnrl/benchmarks/cli.py:31-183, docs/inverse_problems.md:123)."""
+
+import numpy as np
+import pytest
+
+
+# ---------------------------------------------------------------- time-marching
+
+
+def test_time_marching_smoke_and_naming():
+    from pinnrl_tpu.benchmarks.convergence import run_time_marching
+
+    r = run_time_marching("heat", seed=0, n_windows=2, epochs_per_window=2)
+    assert r.pde == "heat_tm2"
+    assert r.epochs == 4  # n_windows * epochs_per_window
+    assert np.isfinite(r.rel_l2) and r.rel_l2 >= 0
+    assert np.isfinite(r.final_train_loss)
+    assert r.points_per_sec > 0
+
+
+def test_time_marching_inherits_ic_between_windows(monkeypatch):
+    """Window 1's initial condition must come from window 0's trained model,
+    not the analytic IC: capture the pde objects and compare the registered
+    'initial' BC against the true problem IC."""
+    from pinnrl_tpu.benchmarks import convergence as conv
+
+    captured = []
+    orig_create = conv.create_pde
+
+    def spy_create(cfg):
+        pde = orig_create(cfg)
+        captured.append(pde)
+        return pde
+
+    monkeypatch.setattr(conv, "create_pde", spy_create)
+    conv.run_time_marching("heat", seed=0, n_windows=2, epochs_per_window=1)
+    assert len(captured) == 2
+    first, second = captured
+    # Window 0 keeps the analytic IC; window 1's must be the inherited closure.
+    import jax.numpy as jnp
+
+    x = jnp.linspace(0.0, 1.0, 8).reshape(-1, 1)
+    t = jnp.zeros((8, 1))
+    ic0 = np.asarray(first.boundary_conditions["initial"](x, t))
+    ic1 = np.asarray(second.boundary_conditions["initial"](x, t))
+    assert ic0.shape == ic1.shape == (8, 1)
+    # A 1-epoch model does not reproduce the analytic IC exactly.
+    assert not np.allclose(ic0, ic1, atol=1e-6)
+
+
+def test_time_marching_windows_partition_time_domain(monkeypatch):
+    from pinnrl_tpu.benchmarks import convergence as conv
+
+    domains = []
+    orig_create = conv.create_pde
+
+    def spy_create(cfg):
+        domains.append(tuple(cfg.pde.time_domain))
+        return orig_create(cfg)
+
+    monkeypatch.setattr(conv, "create_pde", spy_create)
+    conv.run_time_marching("heat", seed=0, n_windows=3, epochs_per_window=1)
+    assert len(domains) == 3
+    # Contiguous, ordered windows covering the full recipe horizon.
+    full = conv.build_recipe_config("heat").pde.time_domain
+    assert domains[0][0] == pytest.approx(full[0])
+    assert domains[-1][1] == pytest.approx(full[1])
+    for (_, hi), (lo, _) in zip(domains[:-1], domains[1:]):
+        assert hi == pytest.approx(lo)
+
+
+# ------------------------------------------------------------ inverse benchmark
+
+
+@pytest.fixture(scope="module")
+def heat_inverse_results():
+    from pinnrl_tpu.benchmarks.inverse import run_inverse
+
+    return run_inverse("heat", seed=0, epochs=2)
+
+
+def test_inverse_bench_result_fields(heat_inverse_results):
+    (r,) = heat_inverse_results
+    assert r.pde == "heat" and r.parameter == "alpha"
+    assert r.true_value == pytest.approx(0.01)
+    assert r.initial_guess == pytest.approx(0.1)
+    assert np.isfinite(r.identified)
+    assert r.rel_error >= 0
+    assert r.epochs == 2 and r.seed == 0
+
+
+def test_inverse_bench_rel_error_definition(heat_inverse_results):
+    (r,) = heat_inverse_results
+    assert r.rel_error == pytest.approx(
+        abs(r.identified - r.true_value) / abs(r.true_value), rel=1e-9
+    )
+
+
+def test_inverse_bench_csv(heat_inverse_results):
+    from pinnrl_tpu.benchmarks.inverse import results_to_csv
+
+    csv = results_to_csv(heat_inverse_results)
+    lines = csv.strip().split("\n")
+    assert lines[0].startswith("pde,parameter,true_value,initial_guess")
+    assert lines[1].startswith("heat,alpha,0.01,0.1,")
+    assert len(lines) == 2
+
+
+def test_inverse_cli_smoke(tmp_path, capsys):
+    from pinnrl_tpu.benchmarks import cli
+
+    rc = cli.main(["inverse", "--pde", "heat", "--epochs", "2",
+                   "--csv", str(tmp_path / "inv.csv")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "identified" in out
+    assert (tmp_path / "inv.csv").read_text().startswith("pde,parameter")
+
+
+def test_time_marching_cli_smoke(monkeypatch, capsys):
+    """--time-marching N routes to run_time_marching (patched tiny)."""
+    from pinnrl_tpu.benchmarks import cli
+    from pinnrl_tpu.benchmarks import convergence as conv
+
+    orig = conv.run_time_marching
+
+    def tiny(pde_key, seed=0, n_windows=4, epochs_per_window=None):
+        return orig(pde_key, seed=seed, n_windows=n_windows, epochs_per_window=1)
+
+    monkeypatch.setattr(conv, "run_time_marching", tiny)
+    rc = cli.main(["convergence", "--pde", "heat", "--time-marching", "2"])
+    assert rc == 0
+    assert "heat_tm2" in capsys.readouterr().out
