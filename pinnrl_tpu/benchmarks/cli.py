@@ -92,7 +92,8 @@ def main(argv=None) -> int:
     p_c = sub.add_parser("convergence", help="rel-L2 vs exact with tuned recipes")
     p_c.add_argument(
         "--pde",
-        choices=["heat", "heat_2d", "wave", "burgers", "kdv", "all"],
+        choices=["heat", "heat_2d", "wave", "burgers", "kdv", "cahn_hilliard",
+                 "all"],
         default="heat",
     )
     p_c.add_argument("--epochs", type=int, default=None, help="Override recipe epochs")

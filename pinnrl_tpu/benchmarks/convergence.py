@@ -140,6 +140,28 @@ RECIPES: Dict[str, dict] = {
             learning_rate=2e-3, weight_decay=0.0,
         ),
     ),
+    "cahn_hilliard": dict(
+        # BASELINE.json headline config #4: "Cahn-Hilliard 2D phase field,
+        # self-attention PINN (4th-order residual AD)". Target = the genuine
+        # standing interface u = tanh(x/(sqrt(2) eps)) (exact in 2D, see
+        # pdes/cahn_hilliard.py) — the only closed-form CH solution; the
+        # reference's tanh(x/(2 eps)) "exact" has O(1) residual and its CH
+        # coverage is tests-only (reference: tests/unit_tests/test_pde_base.py).
+        arch="attention",
+        model=dict(hidden_dims=[128, 128, 128, 128]),
+        pde=dict(
+            dimension=2,
+            domain=[[-0.5, 0.5], [-0.5, 0.5]],
+            time_domain=[0.0, 1.0],
+            exact_solution={"type": "stationary_interface"},
+            initial_condition={"type": "stationary_interface"},
+        ),
+        training=dict(
+            num_epochs=2000, num_collocation_points=20000, batch_size=4096,
+            num_boundary_points=4096, num_initial_points=4096,
+            learning_rate=1e-3, weight_decay=0.0,
+        ),
+    ),
 }
 
 
@@ -153,6 +175,9 @@ def build_recipe_config(pde_key: str, epochs: Optional[int] = None):
             cfg.pde.parameters.update(v)
         else:
             setattr(cfg.pde, k, v)
+    # A recipe may re-dimension the problem (e.g. the 2D Cahn-Hilliard
+    # headline over a 1D config block): keep input_dim = dimension + 1.
+    cfg.model.input_dim = cfg.pde.dimension + 1
     m = recipe["model"]
     cfg.model.hidden_dims = list(m.get("hidden_dims", cfg.model.hidden_dims))
     for k in (

@@ -43,8 +43,26 @@ class CahnHilliardEquation(PDEBase):
         return u_t - lap_mu
 
     def exact_solution(self, x, t, coeffs: Optional[Coeffs] = None):
-        """tanh interface profile (reference: cahn_hilliard.py:162-178)."""
+        """Typed exact solutions.
+
+        - ``tanh`` / ``spinodal`` (default, reference parity,
+          reference: cahn_hilliard.py:162-178): tanh(x/(2 eps)) interface
+          profile. NOTE: this is NOT an exact CH solution — with width
+          2*eps the chemical potential mu = -eps^2 u'' + u^3 - u is
+          nonzero (residual O(1)); kept for behavioral parity only.
+        - ``stationary_interface``: the genuine standing interface
+          u = tanh(x0 / (sqrt(2) eps)) — mu vanishes identically
+          (2 eps^2 / a^2 = 1 at a = sqrt(2) eps), hence u_t = lap(mu) = 0
+          and the CH residual is exactly zero in ANY dimension (flat
+          interface normal to axis 0). The genuine benchmark target for
+          the 4th-order residual path.
+        """
+        spec = self.settings.exact_solution or {}
+        sol_type = spec.get("type", "tanh")
         eps = self._eps(coeffs)
+        if sol_type == "stationary_interface":
+            a = jnp.sqrt(2.0) * eps
+            return jnp.tanh(x[:, 0:1] / a)
         if self.dimension == 1:
             return jnp.tanh(x[:, 0:1] / (2 * eps))
         sol = jnp.ones_like(x[:, 0:1])
@@ -54,6 +72,15 @@ class CahnHilliardEquation(PDEBase):
 
     def _create_initial_condition(self, params: Dict) -> Callable:
         ic_type = params.get("type", "tanh")
+        if (
+            ic_type == "stationary_interface"
+            or (self.settings.exact_solution or {}).get("type")
+            == "stationary_interface"
+        ):
+            # Well-posedness: when benchmarking against the stationary
+            # interface, the IC must be its t=0 trace (mirrors the Burgers
+            # traveling-wave benchmark's exact-trace IC).
+            return lambda x, t: self.exact_solution(x, jnp.zeros_like(x[:, 0:1]))
         if ic_type == "tanh":
             if self.dimension == 1:
                 return lambda x, t: jnp.tanh(x[:, 0:1] / (2 * self._eps(None)))
@@ -61,3 +88,15 @@ class CahnHilliardEquation(PDEBase):
                 jnp.sum(x, axis=1, keepdims=True) / (2 * self._eps(None))
             )
         return super()._create_initial_condition(params)
+
+    def _create_boundary_condition(self, bc_type: str, params: Dict) -> Callable:
+        if (
+            bc_type == "dirichlet"
+            and (self.settings.exact_solution or {}).get("type")
+            == "stationary_interface"
+        ):
+            # The interface's boundary trace varies along the faces (it is
+            # +/-tanh(L/(sqrt(2) eps)) only on the x-faces) — target the
+            # exact trace, mirroring the Burgers traveling-wave benchmark.
+            return lambda x, t: self.exact_solution(x, t)
+        return super()._create_boundary_condition(bc_type, params)

@@ -144,3 +144,72 @@ def test_residual_finite_on_generic_field(pde_type):
     r = pde.compute_residual(u, None, x, t)
     assert r.shape[0] == 32
     assert bool(jnp.isfinite(r).all()), f"{pde_type}: non-finite residual"
+
+
+# ----------------------------- Cahn-Hilliard stationary interface (4th order)
+
+
+def _ch_pde(exact_type, dimension=1):
+    cfg = load_config(pde_type="cahn_hilliard", architecture="feedforward")
+    cfg.pde.exact_solution = {"type": exact_type}
+    if dimension == 2:
+        cfg.pde.dimension = 2
+        cfg.pde.domain = [[-0.5, 0.5], [-0.5, 0.5]]
+        cfg.model.input_dim = 3
+    else:
+        cfg.pde.domain = [[-0.5, 0.5]]
+    return create_pde(cfg)
+
+
+@pytest.mark.parametrize("dimension", [1, 2])
+def test_ch_stationary_interface_residual_vanishes(dimension):
+    """u = tanh(x/(sqrt(2) eps)) is an EXACT CH solution (mu = 0 identically)
+    in any dimension; the 4th-order forward-AD residual must be ~0 on it,
+    while the reference-parity tanh(x/(2 eps)) profile has O(1) residual."""
+    pde = _ch_pde("stationary_interface", dimension)
+    key = jax.random.PRNGKey(0)
+    x, t = pde.generate_collocation_points(key, 64, "uniform")
+
+    def exact_apply(params, z):
+        return pde.exact_solution(z[..., :dimension].reshape(-1, dimension),
+                                  z[..., dimension:].reshape(-1, 1))
+
+    r_exact = pde.compute_residual(exact_apply, None, x, t)
+    assert bool(jnp.isfinite(r_exact).all())
+    assert float(jnp.max(jnp.abs(r_exact))) < 0.05, (
+        "stationary interface should zero the CH residual"
+    )
+
+    pde_parity = _ch_pde("tanh", dimension)
+
+    def parity_apply(params, z):
+        return pde_parity.exact_solution(
+            z[..., :dimension].reshape(-1, dimension),
+            z[..., dimension:].reshape(-1, 1),
+        )
+
+    r_parity = pde_parity.compute_residual(parity_apply, None, x, t)
+    assert float(jnp.max(jnp.abs(r_parity))) > 1.0, (
+        "parity tanh(x/(2 eps)) is not a CH solution; residual must be O(1)"
+    )
+
+
+def test_ch_stationary_interface_bc_ic_trace_exact():
+    pde = _ch_pde("stationary_interface", 2)
+    x = jnp.stack([jnp.linspace(-0.5, 0.5, 16), jnp.full((16,), 0.5)], axis=1)
+    t = jnp.zeros((16, 1))
+    exact = pde.exact_solution(x, t)
+    bc = pde.boundary_conditions["dirichlet"](x, t)
+    ic = pde.boundary_conditions["initial"](x, t)
+    np.testing.assert_allclose(np.asarray(bc), np.asarray(exact), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ic), np.asarray(exact), atol=1e-6)
+
+
+def test_ch_recipe_builds_2d_attention():
+    from pinnrl_tpu.benchmarks.convergence import build_recipe_config
+
+    cfg = build_recipe_config("cahn_hilliard", epochs=2)
+    assert cfg.pde.dimension == 2
+    assert cfg.model.input_dim == 3
+    assert cfg.model.architecture == "attention"
+    assert cfg.pde.exact_solution["type"] == "stationary_interface"
