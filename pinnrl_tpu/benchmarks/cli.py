@@ -105,6 +105,17 @@ def main(argv=None) -> int:
     p_c.add_argument("--csv", default=None)
     p_c.set_defaults(func=_convergence_command)
 
+    p_o = sub.add_parser("operator", help="Well-pipeline FNO operator run")
+    p_o.add_argument("--dataset", default="synthetic_heat_2d",
+                     help="Well registry entry (synthetic_heat_2d works offline)")
+    p_o.add_argument("--arch", default=None, help="Override registry architecture")
+    p_o.add_argument("--epochs", type=int, default=2000)
+    p_o.add_argument("--traj", type=int, default=2)
+    p_o.add_argument("--points", type=int, default=8192)
+    p_o.add_argument("--seed", type=int, default=0)
+    p_o.add_argument("--csv", default=None)
+    p_o.set_defaults(func=_operator_command)
+
     p_i = sub.add_parser("inverse", help="Coefficient-recovery accuracy (inverse mode)")
     p_i.add_argument("--pde", choices=["heat", "black_scholes", "all"], default="heat")
     p_i.add_argument("--epochs", type=int, default=None, help="Override recipe epochs")
@@ -114,6 +125,25 @@ def main(argv=None) -> int:
 
     args = parser.parse_args(argv)
     return args.func(args)
+
+
+def _operator_command(args) -> int:
+    from pinnrl_tpu.benchmarks.operator import results_to_csv, run_operator_benchmark
+
+    r = run_operator_benchmark(
+        dataset=args.dataset, arch=args.arch, epochs=args.epochs,
+        n_traj=args.traj, n_points=args.points, seed=args.seed,
+    )
+    _print_table(
+        [(r.dataset, r.architecture, r.mode, r.epochs,
+          f"{r.test_rel_l2:.3e}", f"{r.test_max_error:.3e}",
+          f"{r.wall_time_s:.0f}")],
+        ["dataset", "arch", "mode", "epochs", "test_rel_l2", "max_err", "wall_s"],
+    )
+    if args.csv:
+        Path(args.csv).write_text(results_to_csv([r]))
+        print(f"CSV written to {args.csv}")
+    return 0
 
 
 def _inverse_command(args) -> int:

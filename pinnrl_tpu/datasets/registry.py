@@ -142,6 +142,29 @@ WELL_REGISTRY: Dict[str, WellEntry] = {
 }
 
 
+# Offline synthetic stand-in (NOT a Well dataset): exact 2D heat-kernel
+# trajectories generated locally (datasets/synthetic.py) so the full Well
+# pipeline — registry -> loader cache -> data-mode training -> FNO operator
+# benchmark — runs end-to-end in zero-egress environments. Clearly named so
+# it can never be mistaken for Well data.
+WELL_REGISTRY["synthetic_heat_2d"] = WellEntry(
+    name="synthetic_heat_2d",
+    description=(
+        "Synthetic (locally generated) 2D heat-kernel modes on [0, pi]^2 — "
+        "offline stand-in exercising the exact Well data path."
+    ),
+    n_spatial_dims=2,
+    fields=("temperature",),
+    domain=((0.0, 3.14159265358979), (0.0, 3.14159265358979)),
+    time_domain=(0.0, 1.0),
+    default_pde_key="heat_2d",
+    default_architecture="fno",
+    default_input_dim=3,
+    default_output_dim=1,
+    recommended_mode="data_only",
+)
+
+
 def list_dataset_names() -> List[str]:
     return sorted(WELL_REGISTRY)
 

@@ -47,7 +47,9 @@ def fake_well(monkeypatch, tmp_path):
 
 
 def test_registry_invariants():
-    assert len(WELL_REGISTRY) == 12
+    # 12 real Well datasets + the clearly-marked synthetic offline stand-in.
+    assert len(WELL_REGISTRY) == 13
+    assert "synthetic_heat_2d" in WELL_REGISTRY
     for entry in WELL_REGISTRY.values():
         assert entry.default_input_dim == entry.n_spatial_dims + 1
         assert entry.default_output_dim == len(entry.fields)
