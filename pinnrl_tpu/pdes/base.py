@@ -223,6 +223,20 @@ class PDEBase:
             bc_type = "dirichlet"
 
         if bc_type == "dirichlet":
+            if params.get("type") == "exact":
+                # Exact-solution-aware Dirichlet target (the reference's heat
+                # subclass builds BCs from the exact solution,
+                # heat_equation.py:214-294; here it is a generic type so any
+                # PDE with an exact solution can avoid the value-0 proxy —
+                # e.g. the KdV soliton tail reaches ~9e-5 at x=+15 by t=5 and
+                # pinning it to 0 seeds a dispersive error wave that
+                # dominates the whole-domain error).
+                if not self.settings.exact_solution:
+                    raise ValueError(
+                        f"{self.pde_type}: boundary type 'exact' requires an "
+                        "exact_solution config block"
+                    )
+                return lambda x, t: self.exact_solution(x, t)
             value = float(params.get("value", 0.0) or 0.0)
             return lambda x, t: jnp.full_like(x[:, 0:1], value)
 
@@ -247,6 +261,14 @@ class PDEBase:
 
     def _create_initial_condition(self, params: Dict[str, Any]) -> Callable:
         ic_type = params.get("type", "sine")
+
+        if ic_type == "exact":
+            if not self.settings.exact_solution:
+                raise ValueError(
+                    f"{self.pde_type}: initial type 'exact' requires an "
+                    "exact_solution config block"
+                )
+            return lambda x, t: self.exact_solution(x, t)
 
         if ic_type in ("sine", "sin", "sin_exp_decay"):
             A = float(params.get("amplitude", 1.0))

@@ -80,6 +80,11 @@ def main():
             cfg.training.loss_weights["boundary"] = float(v)
         elif k == "w_res":
             cfg.training.loss_weights["residual"] = float(v)
+        elif k == "bc":
+            if v == "exact":
+                cfg.pde.boundary_conditions = {"dirichlet": {"type": "exact"}}
+            else:
+                raise SystemExit(f"unknown bc {v}")
         else:
             raise SystemExit(f"unknown key {k}")
 

@@ -138,3 +138,37 @@ def test_coeff_trainable_vs_static():
     assert float(coeffs["alpha"]) == 0.5
     assert pde.coeff(coeffs, "alpha") is coeffs["alpha"]
     assert pde.coeff(None, "alpha") == 0.01  # static true value
+
+
+def test_exact_dirichlet_bc_targets_exact_solution():
+    cfg = tiny_config(pde_type="kdv")
+    cfg.pde.boundary_conditions = {"dirichlet": {"type": "exact"}}
+    pde = create_pde(cfg)
+    bc = pde.boundary_conditions["dirichlet"]
+    x = jnp.array([[-15.0], [15.0], [15.0]])
+    t = jnp.array([[0.0], [2.5], [5.0]])
+    np.testing.assert_allclose(
+        np.asarray(bc(x, t)), np.asarray(pde.exact_solution(x, t)), rtol=1e-6
+    )
+    # The tail is small but NOT zero at the right boundary late in time.
+    assert float(bc(x, t)[2, 0]) > 1e-6
+
+
+def test_exact_initial_condition_matches_exact_solution():
+    cfg = tiny_config(pde_type="wave")
+    cfg.pde.initial_condition = {"type": "exact"}
+    pde = create_pde(cfg)
+    ic = pde.boundary_conditions["initial"]
+    x = jnp.linspace(0.0, 1.0, 9).reshape(-1, 1)
+    t = jnp.zeros((9, 1))
+    np.testing.assert_allclose(
+        np.asarray(ic(x, t)), np.asarray(pde.exact_solution(x, t)), rtol=1e-6
+    )
+
+
+def test_exact_bc_requires_exact_solution():
+    cfg = tiny_config(pde_type="heat")
+    cfg.pde.exact_solution = None
+    cfg.pde.boundary_conditions = {"dirichlet": {"type": "exact"}}
+    with pytest.raises(ValueError, match="exact"):
+        create_pde(cfg)
