@@ -178,8 +178,16 @@ def _convergence_command(args) -> int:
 
     pdes = list(RECIPES) if args.pde == "all" else [args.pde]
     if args.time_marching:
+        # --epochs is the TOTAL budget, split evenly across windows (matching
+        # run_convergence semantics; None keeps the recipe default).
+        per_window = (
+            max(args.epochs // args.time_marching, 1) if args.epochs else None
+        )
         results = [
-            run_time_marching(p, seed=args.seed, n_windows=args.time_marching)
+            run_time_marching(
+                p, seed=args.seed, n_windows=args.time_marching,
+                epochs_per_window=per_window,
+            )
             for p in pdes
         ]
     else:

@@ -85,6 +85,12 @@ def _build_benchmark_model(pde_key: str, seed: int):
     return cfg, PINNModel(cfg, seed=seed)
 
 
+# Steps fused per device call (lax.scan): per-step Python dispatch over the
+# remote TPU tunnel costs ~25 ms, which would dominate the benchmark (the
+# trainer and bench.py fuse for the same reason).
+_INNER = 100
+
+
 def _train_one(
     pde_key: str,
     strategy: str,
@@ -151,25 +157,33 @@ def _train_one(
             rl_st = agent.update_epsilon(rl_st)
         return (params, opt_state, rl_st, key), loss
 
-    # Fuse steps into lax.scan chunks: per-step Python dispatch over the
-    # remote TPU tunnel costs ~25 ms, which would dominate the benchmark
-    # (the trainer and bench.py fuse for the same reason).
-    INNER = 100
+    # Exactly `epochs` steps run: full fused chunks plus one remainder chunk
+    # (epochs=250 previously ran 200 steps yet reported 250-step throughput).
+    inner = min(epochs, _INNER)
+    n_full, rem = divmod(epochs, inner)
 
     @jax.jit
     def chunk(carry):
-        return jax.lax.scan(step, carry, None, length=INNER)
+        return jax.lax.scan(step, carry, None, length=inner)
+
+    @jax.jit
+    def rem_chunk(carry):
+        return jax.lax.scan(step, carry, None, length=rem)
 
     key = jax.random.PRNGKey(seed)
     carry = (params, opt_state, rl_state, key)
     # Warm-up compile outside the timed region.
     carry_w, _ = chunk(carry)
+    if rem:
+        carry_w, _ = rem_chunk(carry_w)
     jax.block_until_ready(carry_w[0])
 
     t0 = time.perf_counter()
     losses_tail = None
-    for _ in range(max(epochs // INNER, 1)):
+    for _ in range(n_full):
         carry, losses_tail = chunk(carry)
+    if rem:
+        carry, losses_tail = rem_chunk(carry)
     params, opt_state, rl_state, _ = carry
     loss = float(jax.block_until_ready(losses_tail)[-1])
     wall = time.perf_counter() - t0

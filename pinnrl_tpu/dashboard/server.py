@@ -107,14 +107,17 @@ def load_solution(exp_dir: Path, grid: int = 80, n_times: int = 9) -> Optional[D
     tensor shapes (reference: dashboard.py:2428-2501, rendered at :2504-2667);
     here the experiment's config.yaml snapshot restores it exactly.
     """
-    cache_key = str(exp_dir)
-    cached = _SOLUTION_CACHE.get(cache_key)
-    if cached is not None:
-        return cached
     cfg_path = exp_dir / "config.yaml"
     model_path = exp_dir / "final_model.msgpack"
     if not cfg_path.exists() or not model_path.exists():
         return None
+    # Key by checkpoint mtime so a re-run/resume into the same directory
+    # invalidates the stale payload; keep only the most recent few payloads
+    # (each is a full grid*grid*n_times field) so the cache stays bounded.
+    cache_key = f"{exp_dir}:{model_path.stat().st_mtime_ns}"
+    cached = _SOLUTION_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     try:
         import jax.numpy as jnp
         import yaml
@@ -176,6 +179,8 @@ def load_solution(exp_dir: Path, grid: int = 80, n_times: int = 9) -> Optional[D
                 "u_pred": u_pred,
                 "u_exact": u_exact if any(e is not None for e in u_exact) else None,
             }
+        while len(_SOLUTION_CACHE) >= 8:
+            _SOLUTION_CACHE.pop(next(iter(_SOLUTION_CACHE)))
         _SOLUTION_CACHE[cache_key] = payload
         return payload
     except Exception:

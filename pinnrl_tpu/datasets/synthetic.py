@@ -87,7 +87,16 @@ def ensure_synthetic_well_cache(
     if cache.exists() and not overwrite:
         return cache
 
-    offset = 0 if split == "train" else len(MODE_SETS) // 2
+    # Test trajectories start AFTER every train index so the splits are
+    # disjoint for any n_traj (content is periodic in the index with period
+    # lcm(len(MODE_SETS), 3) = 12, so disjoint indices below 12 guarantee
+    # distinct mode superpositions — no train->test leakage).
+    offset = 0 if split == "train" else n_traj
+    if split != "train" and 2 * n_traj > 12:
+        raise ValueError(
+            "synthetic train/test splits are only distinct for n_traj <= 6 "
+            f"(got {n_traj}); raise MODE_SETS variety to go higher"
+        )
     clouds = [
         _flatten_trajectory(generate_heat_2d_trajectory(i + offset), entry)
         for i in range(n_traj)

@@ -112,6 +112,8 @@ class FourierNetwork(nn.Module):
                 if self.layer_norm:
                     z = nn.LayerNorm()(z)
                 z = act(z)
+                if self.dropout > 0:
+                    z = nn.Dropout(self.dropout, deterministic=deterministic)(z)
                 h = (1.0 - z) * u + z * v
             return nn.Dense(self.output_dim)(h)
         for width in self.hidden_dims:

@@ -181,13 +181,14 @@ class HeatEquation(PDEBase):
             ],
             axis=0,
         )[:n]
-        return x_i, jnp.zeros((x_i.shape[0], 1), jnp.float32)
+        # Anchor at time_domain[0] (NOT literal t=0) — time-marching windows
+        # shift the window start and the IC must be enforced there (see the
+        # base-class invariant, base.py::_sample_initial_points).
+        return x_i, jnp.full((x_i.shape[0], 1), self.time_domain[0], jnp.float32)
 
-    def compute_loss(self, apply_fn, params, x, t, coeffs=None, key=None):
-        """Base assembly (fresh keyed BC/IC points, structural periodic BCs,
-        FD smoothness) with heat's stratified time and edge-concentrated IC
-        layouts supplied via the sampling hooks above."""
-        return super().compute_loss(apply_fn, params, x, t, coeffs=coeffs, key=key)
+    # compute_loss: base assembly as-is (fresh keyed BC/IC points, structural
+    # periodic BCs, FD smoothness); heat's stratified time and
+    # edge-concentrated IC layouts enter via the sampling hooks above.
 
     # ------------------------------------------------------------------ #
 

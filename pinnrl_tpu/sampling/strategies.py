@@ -97,6 +97,12 @@ def sample_residual_based(
     else:
         r = jnp.abs(residual_fn(x_pool, t_pool)).reshape(-1)
     p = r / (jnp.mean(r) + eps) + uniform_floor
+    # All-zero weights (possible with uniform_floor=0 and a zero residual
+    # field, e.g. a zero-init net at step 0) would make every logit -inf and
+    # categorical degenerate to repeatedly picking index 0 — fall back to a
+    # uniform draw over the pool instead (reference's `r + eps` guard,
+    # pde_base.py:895-935).
+    p = jnp.where(jnp.sum(p) > 0, p, jnp.ones_like(p))
     idx = jax.random.categorical(k_pick, jnp.log(p), shape=(n,))
     return x_pool[idx], t_pool[idx]
 

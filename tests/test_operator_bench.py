@@ -100,3 +100,21 @@ def test_operator_cli(tmp_path, capsys):
     assert rc == 0
     assert "test_rel_l2" in capsys.readouterr().out
     assert (tmp_path / "op.csv").read_text().startswith("dataset,")
+
+
+def test_splits_are_disjoint_trajectories_for_multi_traj():
+    # Regression: test split used offset=2, so n_traj>=3 put trajectory 2 in
+    # BOTH splits (train->test leakage). Test indices now start at n_traj.
+    from pinnrl_tpu.datasets.synthetic import generate_heat_2d_trajectory
+
+    n_traj = 3
+    train_fields = [generate_heat_2d_trajectory(i) for i in range(n_traj)]
+    test_fields = [generate_heat_2d_trajectory(i + n_traj) for i in range(n_traj)]
+    for te in test_fields:
+        for tr in train_fields:
+            assert not np.allclose(te, tr)
+
+
+def test_split_rejects_oversized_n_traj():
+    with pytest.raises(ValueError, match="n_traj"):
+        ensure_synthetic_well_cache(split="test", n_traj=7, n_points=64, seed=0)

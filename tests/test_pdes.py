@@ -172,3 +172,13 @@ def test_exact_bc_requires_exact_solution():
     cfg.pde.boundary_conditions = {"dirichlet": {"type": "exact"}}
     with pytest.raises(ValueError, match="exact"):
         create_pde(cfg)
+
+
+def test_heat_initial_points_anchor_at_window_start():
+    # Regression: heat's edge-concentrated 1D IC layout pinned t to literal 0;
+    # time-marching windows need the IC at time_domain[0].
+    cfg = tiny_config(pde_type="heat")
+    cfg.pde.time_domain = [1.5, 2.0]
+    pde = create_pde(cfg)
+    _, t_i = pde._sample_initial_points(jax.random.PRNGKey(0), 8)
+    np.testing.assert_allclose(np.asarray(t_i), 1.5)

@@ -129,3 +129,17 @@ def test_2d_domain():
     x, t = sample_uniform(jax.random.PRNGKey(0), 50, dom2, TIME)
     assert x.shape == (50, 2)
     _check_bounds(x, t, dom2)
+
+
+def test_residual_based_zero_field_no_floor_falls_back_to_uniform():
+    # uniform_floor=0 + an all-zero residual pool must NOT collapse every
+    # draw onto pool index 0 (log(0) logits); it falls back to uniform.
+    from pinnrl_tpu.sampling.strategies import sample_residual_based
+
+    key = jax.random.PRNGKey(0)
+    x, t = sample_residual_based(
+        key, 64, [(0.0, 1.0)], (0.0, 1.0),
+        residual_fn=lambda xx, tt: jnp.zeros((xx.shape[0], 1)),
+        uniform_floor=0.0,
+    )
+    assert len(jnp.unique(x[:, 0])) > 8
