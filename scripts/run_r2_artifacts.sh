@@ -22,4 +22,8 @@ echo "=== cahn-hilliard 2D attention convergence ==="
 timeout 5400 python -m pinnrl_tpu.benchmarks.cli convergence \
   --pde cahn_hilliard --csv benchmark_results/convergence_ch.csv
 
+echo "=== kdv sampling-strategy comparison (RL on the dispersion front) ==="
+timeout 3600 python scripts/run_sampling_suite.py --pde kdv --seeds 0,1,2 \
+  --epochs 10000 --batch 1024 --csv benchmark_results/sampling_kdv.csv
+
 echo "=== done ==="
