@@ -41,6 +41,7 @@ def main():
 
     cfg = build_recipe_config(pde_key, epochs=epochs)
     ap = cfg.model.arch_params
+    save_path = None
     label = [pde_key, f"ep{epochs}", f"s{seed}"]
     for k, v in kv.items():
         label.append(f"{k}={v}")
@@ -85,6 +86,9 @@ def main():
                 cfg.pde.boundary_conditions = {"dirichlet": {"type": "exact"}}
             else:
                 raise SystemExit(f"unknown bc {v}")
+        elif k == "save":
+            label.pop()  # checkpoint path is not part of the variant label
+            save_path = v
         else:
             raise SystemExit(f"unknown key {k}")
 
@@ -95,6 +99,9 @@ def main():
     res = trainer.train(seed=seed)
     wall = time.perf_counter() - t0
     params = trainer._final_state["params"]["net"]
+    if save_path:
+        model.params = params
+        model.save_state(save_path)
     val = pde.validate(model.apply, params, num_points=20000)
     row = (
         f'{"|".join(label)},{val["rel_l2"]:.6e},{val["max_error"]:.6e},'
