@@ -6,6 +6,7 @@
 # the axon backend intermittently fails to initialize after a worker crash.
 set -u
 WAIT_PID=${1:-}
+PY=${PYTHONPATH:-}
 if [ -n "$WAIT_PID" ]; then
   while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 60; done
 fi
