@@ -496,7 +496,13 @@ class Config(_DictAccess):
     @staticmethod
     def _build_training(block: Dict[str, Any]) -> TrainingConfig:
         block = dict(block)
-        opt_block = block.pop("optimizer_config", {}) or {}
+        opt_block = dict(block.pop("optimizer_config", {}) or {})
+        # Top-level training.learning_rate/weight_decay are the reference's
+        # flat spelling (reference: config/__init__.py:514-521) — fold them
+        # into optimizer_config unless the nested block already sets them.
+        for flat_key in ("learning_rate", "weight_decay"):
+            if flat_key in block:
+                opt_block.setdefault(flat_key, block.pop(flat_key))
         aw_block = block.pop("adaptive_weights", {}) or {}
         es_block = block.pop("early_stopping", {}) or {}
         lbfgs_block = block.pop("lbfgs", {}) or {}
