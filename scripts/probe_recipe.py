@@ -7,7 +7,9 @@ Usage:
 
 Keys: epochs, seed, scale, mapping_size, modified, hidden, feature_seed,
       ensemble, ema, causal_eps, lr, optimizer, trainable_features,
-      moving_frame, batch, points
+      moving_frame, batch, points, gpinn, w_ic, w_bc, w_res, bc, save,
+      stage2 (=epochs, enables a multi-stage correction net),
+      stage2_eps, stage2_scale, stage2_lr, stage2_map
 Appends rows to benchmark_results/probe_matrix.csv
 """
 
@@ -42,6 +44,7 @@ def main():
     cfg = build_recipe_config(pde_key, epochs=epochs)
     ap = cfg.model.arch_params
     save_path = None
+    stage2 = {}
     label = [pde_key, f"ep{epochs}", f"s{seed}"]
     for k, v in kv.items():
         label.append(f"{k}={v}")
@@ -89,10 +92,45 @@ def main():
         elif k == "save":
             label.pop()  # checkpoint path is not part of the variant label
             save_path = v
+        elif k == "stage2":
+            stage2["epochs"] = int(v)
+        elif k == "stage2_eps":
+            stage2["eps"] = float(v)
+        elif k == "stage2_scale":
+            stage2["scale"] = float(v)
+        elif k == "stage2_lr":
+            stage2["learning_rate"] = float(v)
+        elif k == "stage2_map":
+            stage2["mapping_size"] = int(v)
         else:
             raise SystemExit(f"unknown key {k}")
 
     pde = create_pde(cfg)
+    if stage2:
+        from pinnrl_tpu.training.multistage import StageSpec, run_multistage
+
+        t0 = time.perf_counter()
+        ms = run_multistage(cfg, [StageSpec(**stage2)], seed=seed, pde=pde)
+        wall = time.perf_counter() - t0
+        val = ms.stage_metrics[-1]
+        base = ms.stage_metrics[0]
+        print(
+            f"stage1 rel_l2={base['rel_l2']:.3e} -> stage2 "
+            f"rel_l2={val['rel_l2']:.3e} (eps={ms.eps_history[0]:.3e})",
+            flush=True,
+        )
+        row = (
+            f'{"|".join(label)},{val["rel_l2"]:.6e},{val["max_error"]:.6e},'
+            f"nan,{wall:.1f}"
+        )
+        OUT.parent.mkdir(exist_ok=True)
+        if not OUT.exists():
+            OUT.write_text("label,rel_l2,max_error,final_train_loss,wall_s\n")
+        with OUT.open("a") as f:
+            f.write(row + "\n")
+        print(row, flush=True)
+        return
+
     model = PINNModel(cfg, seed=seed)
     trainer = PDETrainer(model, pde, cfg)
     t0 = time.perf_counter()
