@@ -201,6 +201,11 @@ class TrainingConfig(_DictAccess):
     # iterate smooths SGD noise; a phase-2 L-BFGS polish starts FROM the
     # EMA iterate, otherwise the EMA is the final model. 0 disables.
     param_ema: float = 0.0
+    # When set, capture ONE jax.profiler trace (XLA ops + HLO, viewable in
+    # TensorBoard/Perfetto) of the second epoch chunk — the first chunk is
+    # compile + warmup — into this directory. New capability beyond the
+    # reference (it has no profiler hooks; SURVEY §5.1).
+    profile_dir: Optional[str] = None
     loss_weights: Dict[str, float] = field(
         default_factory=lambda: {
             "residual": 15.0,

@@ -76,6 +76,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--device", default=None, help="tpu | cpu")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--results-dir", default=None)
+    p.add_argument("--profile-dir", default=None,
+                   help="Capture one jax.profiler trace of a steady-state "
+                        "epoch chunk into this directory")
     return p.parse_args(argv)
 
 
@@ -115,6 +118,8 @@ def build_config(args: argparse.Namespace) -> Config:
         cfg.rl.enabled = True
     if args.results_dir:
         cfg.paths.results_dir = args.results_dir
+    if args.profile_dir:
+        t.profile_dir = args.profile_dir
 
     # Inverse-problem flags (reference: train.py:566-581).
     if args.identify:

@@ -720,6 +720,7 @@ class PDETrainer:
         )
         stop = False
         epoch = start_epoch
+        self._profiled = False
         switched = lbfgs_mode or self.switch_epoch is None
         try:
             while epoch < num_epochs and not stop:
@@ -815,7 +816,20 @@ class PDETrainer:
                     chunk = min(chunk, max(next_round - epoch, 1))
 
                 t0 = time.time()
-                state, metrics = epoch_fn(state, chunk)
+                if (
+                    t.profile_dir
+                    and not self._profiled
+                    and epoch > start_epoch  # chunk 1 = compile + warmup
+                ):
+                    # One profiler trace of a steady-state chunk (new
+                    # capability beyond the reference; SURVEY §5.1).
+                    self._profiled = True
+                    with jax.profiler.trace(t.profile_dir):
+                        state, metrics = epoch_fn(state, chunk)
+                        jax.block_until_ready(metrics)
+                    logger.info("Profiler trace written to %s", t.profile_dir)
+                else:
+                    state, metrics = epoch_fn(state, chunk)
                 metrics = jax.device_get(metrics)  # ONE host transfer per chunk
                 chunk_time = time.time() - t0
 

@@ -372,3 +372,15 @@ def test_param_ema_with_ensemble():
     res = trainer.train(seed=0)
     assert np.isfinite(res["history"]["train_loss"]).all()
     assert model.is_ensemble_params(trainer._final_state["params"]["net"])
+
+
+def test_profiler_trace_hook(tmp_path):
+    """training.profile_dir captures one jax.profiler trace of the second
+    epoch chunk (new capability; SURVEY §5.1 notes the reference has none)."""
+    cfg = tiny_config(num_epochs=3, validation_frequency=1)
+    cfg.training.profile_dir = str(tmp_path / "trace")
+    trainer = make_trainer(cfg)
+    res = trainer.train()
+    assert res["status"] == "completed"
+    produced = list((tmp_path / "trace").rglob("*"))
+    assert any(p.is_file() for p in produced), "no profiler artifacts written"
