@@ -217,6 +217,39 @@ def run_convergence(
     t = cfg.training
 
     pde = create_pde(cfg)
+    stages = recipe.get("stages")
+    if stages:
+        # Multi-stage recipe: base net + eps-scaled correction stage(s)
+        # (pinnrl_tpu/training/multistage.py). ``epochs`` caps the TOTAL
+        # budget: the base keeps the recipe's split of it.
+        from pinnrl_tpu.training.multistage import StageSpec, run_multistage
+
+        specs = [StageSpec(**s) for s in stages]
+        t0 = time.perf_counter()
+        ms = run_multistage(cfg, specs, seed=seed, pde=pde)
+        wall = time.perf_counter() - t0
+        val = ms.stage_metrics[-1]
+        total_epochs = t.num_epochs + sum(
+            s.epochs or t.num_epochs for s in specs
+        )
+        n_batches = max(
+            t.num_collocation_points
+            // min(t.batch_size, t.num_collocation_points), 1,
+        )
+        steps = total_epochs * n_batches
+        return ConvergenceResult(
+            pde=pde_key,
+            architecture=recipe["arch"],
+            epochs=total_epochs,
+            rel_l2=val.get("rel_l2", float("nan")),
+            max_error=val.get("max_error", float("nan")),
+            final_train_loss=float("nan"),
+            wall_time_s=wall,
+            points_per_sec=steps
+            * min(t.batch_size, t.num_collocation_points) / wall,
+            seed=seed,
+        )
+
     model = PINNModel(cfg, seed=seed)
     trainer = PDETrainer(model, pde, cfg)
     t0 = time.perf_counter()

@@ -38,3 +38,24 @@ def test_convergence_cli(tmp_path, capsys):
     assert rc == 0
     assert "rel_l2" in capsys.readouterr().out
     assert (tmp_path / "c.csv").exists()
+
+def test_convergence_multistage_recipe(monkeypatch):
+    """A RECIPES entry with ``stages`` routes through run_multistage and
+    reports the total epoch budget."""
+    from pinnrl_tpu.benchmarks import convergence as C
+
+    tiny = dict(
+        arch="feedforward",
+        model=dict(hidden_dims=[8, 8]),
+        training=dict(
+            num_epochs=2, num_collocation_points=32, batch_size=32,
+            num_boundary_points=8, num_initial_points=8,
+            learning_rate=1e-3, weight_decay=0.0,
+        ),
+        stages=[dict(epochs=2)],
+    )
+    monkeypatch.setitem(C.RECIPES, "heat", tiny)
+    r = C.run_convergence("heat", seed=0)
+    assert r.epochs == 4  # 2 base + 2 correction
+    assert np.isfinite(r.rel_l2)
+    assert r.points_per_sec > 0
