@@ -124,7 +124,7 @@ def _train_one(
 
     def sample(key, p, rl_st):
         if strategy == "residual_based":
-            rfn = lambda xx, tt: pde.compute_residual(model.apply, p, xx, tt)
+            rfn = lambda xx, tt: pde.residual_score(model.apply, p, xx, tt)
             return pde.generate_collocation_points(key, batch, strategy, residual_fn=rfn)
         if strategy == "adaptive":
             k1, k2 = jax.random.split(key)
@@ -146,10 +146,10 @@ def _train_one(
         params = optax.apply_updates(params, updates)
         if agent is not None:
             n = min(128, batch)
-            res = pde.compute_residual(model.apply, params, x[:n], t[:n]).reshape(-1)
+            res = pde.residual_score(model.apply, params, x[:n], t[:n])
             pts = jnp.concatenate([x[:n], t[:n]], axis=-1)
             reward = agent.compute_reward(
-                jnp.abs(res), losses["boundary"], losses["initial"]
+                res, losses["boundary"], losses["initial"]
             )
             # Bandit transitions (done=1) + one epsilon step per step
             # (this harness runs one batch step per epoch).

@@ -159,6 +159,28 @@ class PDEBase:
     def residual_pointwise(self, u: PointFn, z: jax.Array, coeffs: Optional[Coeffs]) -> jax.Array:
         raise NotImplementedError
 
+    # Number of coupled output channels the residual constrains. 1 = the
+    # direct formulation (a scalar u and a single residual). Subclasses that
+    # support an auxiliary first-order formulation (u plus its derivative
+    # chain as extra network outputs, tied by compatibility residuals) set
+    # this >1 in __init__ and implement ``residual_pointwise_system``.
+    system_size: int = 1
+
+    def residual_pointwise_system(
+        self, uvec: PointFn, z: jax.Array, coeffs: Optional[Coeffs]
+    ) -> jax.Array:
+        """Point-wise residual VECTOR for the auxiliary first-order system.
+
+        ``uvec: (dim+1,) -> (system_size,)`` is the full network restriction;
+        returns ``(system_size,)`` of (dynamics + compatibility) residuals.
+        High-order PDEs (KdV's u_xxx, Cahn-Hilliard's biharmonic) expose a
+        badly-conditioned loss landscape through nested differentiation; the
+        auxiliary form needs only FIRST-order jvps of the network, trading a
+        wider output head for a much better-conditioned optimization problem
+        (cf. Gladstone et al., "FO-PINNs", arXiv:2210.14320).
+        """
+        raise NotImplementedError
+
     def exact_solution(self, x: jax.Array, t: jax.Array, coeffs: Optional[Coeffs] = None):
         """Batched exact solution u(x, t); None when unavailable."""
         return None
@@ -184,11 +206,39 @@ class PDEBase:
         t: jax.Array,
         coeffs: Optional[Coeffs] = None,
     ) -> jax.Array:
-        """Batched residual: vmap of the point-wise residual. (N, 1)."""
-        u = self._scalar_u(apply_fn, params)
+        """Batched residual: vmap of the point-wise residual. (N, 1) in the
+        direct formulation, (N, system_size) for auxiliary systems."""
         z = jnp.concatenate([x, t], axis=-1)
+        if self.system_size > 1:
+            k = self.system_size
+
+            def uvec(zz: jax.Array) -> jax.Array:
+                return jnp.reshape(apply_fn(params, zz), (-1,))[:k]
+
+            r = jax.vmap(lambda zz: self.residual_pointwise_system(uvec, zz, coeffs))(z)
+            return r.reshape(-1, k)
+        u = self._scalar_u(apply_fn, params)
         r = jax.vmap(lambda zz: self.residual_pointwise(u, zz, coeffs))(z)
         return r.reshape(-1, 1)
+
+    def residual_score(
+        self,
+        apply_fn: Callable,
+        params,
+        x: jax.Array,
+        t: jax.Array,
+        coeffs: Optional[Coeffs] = None,
+    ) -> jax.Array:
+        """Per-POINT scalar residual magnitude, shape (N,).
+
+        RAR pool scoring and the RL reward need one score per collocation
+        point; in the auxiliary-system formulation ``compute_residual`` is
+        (N, system_size), so the channels are l2-collapsed here rather than
+        letting callers ``reshape(-1)`` a matrix into 3N bogus scores."""
+        r = self.compute_residual(apply_fn, params, x, t, coeffs)
+        if r.ndim == 2 and r.shape[1] > 1:
+            return jnp.sqrt(jnp.sum(r * r, axis=1))
+        return jnp.abs(r.reshape(-1))
 
     def compute_derivatives(
         self,
@@ -431,7 +481,12 @@ class PDEBase:
         eps = float(getattr(self.training, "causal_eps", 0.0) or 0.0) if self.training else 0.0
         if eps <= 0.0:
             return self._loss(residual)
-        r2 = residual.reshape(-1) ** 2
+        if residual.ndim == 2 and residual.shape[1] > 1:
+            # Auxiliary system: one causal weight per POINT, summed over the
+            # coupled residual components.
+            r2 = jnp.sum(residual**2, axis=1)
+        else:
+            r2 = residual.reshape(-1) ** 2
         order = jnp.argsort(t.reshape(-1))
         r2_sorted = r2[order]
         n = r2_sorted.shape[0]
@@ -722,11 +777,21 @@ class PDEBase:
         forward passes at one-higher derivative order (KdV: order 4, within
         the engine's jet support). Enable with loss_weights.gpinn > 0
         (typical 1e-2..1e-1 relative to the residual weight)."""
-        u = self._scalar_u(apply_fn, params)
         z = jnp.concatenate([x, t], axis=-1)
+        if self.system_size > 1:
+            k = self.system_size
 
-        def r_point(zz):
-            return self.residual_pointwise(u, zz, coeffs)
+            def uvec(zz: jax.Array) -> jax.Array:
+                return jnp.reshape(apply_fn(params, zz), (-1,))[:k]
+
+            def r_point(zz):
+                return self.residual_pointwise_system(uvec, zz, coeffs)
+
+        else:
+            u = self._scalar_u(apply_fn, params)
+
+            def r_point(zz):
+                return self.residual_pointwise(u, zz, coeffs)
 
         g = jax.vmap(jax.jacfwd(r_point))(z)
         return jnp.mean(jnp.sum(jnp.reshape(g, (g.shape[0], -1)) ** 2, axis=-1))

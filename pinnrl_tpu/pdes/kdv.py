@@ -22,8 +22,40 @@ class KdVEquation(PDEBase):
     spatial_orders = (1, 3)
     temporal_orders = (1,)
 
+    def __init__(self, settings, training=None):
+        super().__init__(settings, training)
+        # parameters.formulation = "first_order" switches to the auxiliary
+        # system (u, p=u_x, q=u_xx) with first-order-only residuals; the
+        # model must then be configured with output_dim >= 3.
+        if str(self.parameters.get("formulation", "direct")) == "first_order":
+            if self.dimension != 1:
+                raise ValueError("kdv first_order formulation supports dimension=1 only")
+            self.system_size = 3
+            self.spatial_orders = (1,)
+
     def _speed(self, coeffs: Optional[Coeffs]):
         return self.coeff(coeffs, "speed", default=1.0)
+
+    def residual_pointwise_system(self, uvec, z: jax.Array, coeffs: Optional[Coeffs]):
+        """Auxiliary first-order KdV system: outputs (u, p, q) with
+
+            r1 = u_t + 6 u p + q_x      (dynamics; q_x stands in for u_xxx)
+            r2 = p - u_x                (compatibility)
+            r3 = q - p_x                (compatibility)
+
+        Two first-order jvps (along x and t) replace the order-3 jet — the
+        loss gradient never sees nested third derivatives, which is the
+        conditioning bottleneck of the direct form (train loss floors ~3e-7
+        while whole-domain error sits 4 orders higher)."""
+        e_x = jnp.zeros_like(z).at[0].set(1.0)
+        e_t = jnp.zeros_like(z).at[self.dimension].set(1.0)
+        vals, d_x = jax.jvp(uvec, (z,), (e_x,))
+        _, d_t = jax.jvp(uvec, (z,), (e_t,))
+        u, p, q = vals[0], vals[1], vals[2]
+        r1 = d_t[0] + 6.0 * u * p + d_x[2]
+        r2 = p - d_x[0]
+        r3 = q - d_x[1]
+        return jnp.stack([r1, r2, r3])
 
     def residual_pointwise(self, u: PointFn, z: jax.Array, coeffs: Optional[Coeffs]):
         val = u(z)

@@ -139,6 +139,10 @@ def build_config(args: argparse.Namespace) -> Config:
     # Well dataset defaults overlay (reference: train.py:104-149).
     if args.dataset:
         _apply_well_dataset_defaults(cfg, args)
+
+    # CLI overrides mutate the validated Config in place — re-check the
+    # cross-field invariants (e.g. --mode inverse without --identify).
+    cfg._validate()
     return cfg
 
 

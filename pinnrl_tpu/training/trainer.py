@@ -185,7 +185,7 @@ class PDETrainer:
     def _sample(self, key, n, params, rl_state):
         strategy = self.strategy
         if strategy == "residual_based":
-            residual_fn = lambda xx, tt: self.pde.compute_residual(
+            residual_fn = lambda xx, tt: self.pde.residual_score(
                 self.model.apply, params["net"], xx, tt, params["coeffs"]
             )
             return self.pde.generate_collocation_points(
@@ -336,11 +336,11 @@ class PDETrainer:
             rl_state = state["rl"]
             if agent is not None:
                 pts = jnp.concatenate([x[:n_push], t[:n_push]], axis=-1)
-                res = self.pde.compute_residual(
+                res = self.pde.residual_score(
                     self.model.apply, params["net"], x[:n_push], t[:n_push], params["coeffs"]
-                ).reshape(-1)
+                )
                 reward = agent.compute_reward(
-                    jnp.abs(res), losses["boundary"], losses["initial"]
+                    res, losses["boundary"], losses["initial"]
                 )
                 rl_state = agent.update(
                     rl_state, pts, reward, pts, jnp.ones(()), k_rl

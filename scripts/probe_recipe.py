@@ -8,6 +8,7 @@ Usage:
 Keys: epochs, seed, scale, mapping_size, modified, hidden, feature_seed,
       ensemble, ema, causal_eps, lr, optimizer, trainable_features,
       moving_frame, batch, points, gpinn, w_ic, w_bc, w_res, bc, save,
+      formulation (=first_order, auxiliary-variable system),
       stage2 (=epochs, enables a multi-stage correction net),
       stage2_eps, stage2_scale, stage2_lr, stage2_map
 Appends rows to benchmark_results/probe_matrix.csv
@@ -84,6 +85,11 @@ def main():
             cfg.training.loss_weights["boundary"] = float(v)
         elif k == "w_res":
             cfg.training.loss_weights["residual"] = float(v)
+        elif k == "formulation":
+            cfg.pde.parameters["formulation"] = v
+            if v == "first_order":
+                cfg.model.output_dim = 3
+                cfg.pde.output_dim = 3
         elif k == "bc":
             if v == "exact":
                 cfg.pde.boundary_conditions = {"dirichlet": {"type": "exact"}}

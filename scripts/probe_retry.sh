@@ -3,6 +3,7 @@
 # flaky axon-backend UNAVAILABLE crash.
 # Usage: probe_retry.sh <timeout_s> <pde> [key=value ...]
 set -u
+export PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH}
 T=$1; shift
 BEFORE=$(wc -l < benchmark_results/probe_matrix.csv 2>/dev/null || echo 0)
 for attempt in 1 2 3; do
