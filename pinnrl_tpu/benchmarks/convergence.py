@@ -145,6 +145,82 @@ RECIPES: Dict[str, dict] = {
             learning_rate=2e-3, weight_decay=0.0,
         ),
     ),
+    "convection": dict(
+        # Linear advection of sin(2 pi (x - t)) (exact in f64, residual 0).
+        # IC frequency 2.0 so the IC matches the exact solution at t=0 (the
+        # reference's default frequency-1 IC contradicts its own exact
+        # solution); exact-aware Dirichlet BCs because the inflow boundary
+        # value -sin(2 pi t) is nonzero.
+        arch="fourier",
+        model=dict(hidden_dims=[256, 256, 256], mapping_size=128, scale=1.0),
+        pde=dict(
+            initial_condition={"type": "sin", "amplitude": 1.0, "frequency": 2.0},
+            boundary_conditions={"dirichlet": {"type": "exact"}},
+        ),
+        training=dict(
+            num_epochs=1500, num_collocation_points=40000, batch_size=8192,
+            num_boundary_points=4096, num_initial_points=4096,
+            optimizer="adam_lbfgs", adam_lbfgs_switch_ratio=0.5,
+            learning_rate=2e-3, weight_decay=0.0,
+        ),
+    ),
+    "allen_cahn": dict(
+        # Genuine stationary interface tanh(x / (sqrt(2) eps)) — the
+        # reference's tanh(x / 2eps) leaves an O(0.1) residual (see
+        # pdes/allen_cahn.py docstring; measured in f64).
+        arch="fourier",
+        model=dict(hidden_dims=[256, 256, 256], mapping_size=128, scale=2.0),
+        pde=dict(
+            exact_solution={"type": "stationary_interface"},
+            initial_condition={"type": "stationary_interface"},
+            boundary_conditions={"dirichlet": {"type": "exact"}},
+        ),
+        training=dict(
+            num_epochs=1500, num_collocation_points=40000, batch_size=8192,
+            num_boundary_points=4096, num_initial_points=4096,
+            optimizer="adam_lbfgs", adam_lbfgs_switch_ratio=0.5,
+            learning_rate=2e-3, weight_decay=0.0,
+        ),
+    ),
+    "black_scholes": dict(
+        # Self-consistent time-to-maturity convention + textbook CDF closed
+        # form (residual 7e-15 in f64; the reference's calendar-time
+        # residual with a payoff IC at t=0 is contradictory, and its erf
+        # "closed form" is not the Black-Scholes price — see
+        # pdes/black_scholes.py docstrings).
+        arch="fourier",
+        model=dict(hidden_dims=[256, 256, 256], mapping_size=128, scale=1.0),
+        pde=dict(
+            parameters={"sigma": 0.2, "r": 0.05, "time_convention": "to_maturity"},
+            exact_solution={"type": "black_scholes", "strike": 100.0,
+                            "option_type": "call", "cdf": True},
+            boundary_conditions={"dirichlet": {"type": "exact"}},
+        ),
+        training=dict(
+            num_epochs=1500, num_collocation_points=40000, batch_size=8192,
+            num_boundary_points=4096, num_initial_points=4096,
+            optimizer="adam_lbfgs", adam_lbfgs_switch_ratio=0.5,
+            learning_rate=2e-3, weight_decay=0.0,
+        ),
+    ),
+    "pendulum": dict(
+        # Linearized restoring force so theta0 cos(omega t) is exact
+        # (parameters.linearized; the nonlinear residual leaves rms 0.12 at
+        # theta0=0.5). omega = sqrt(9.81) ~ 3.13 rad/s -> ~5 periods over
+        # t in [0, 10]; solution constant along the dummy spatial axis.
+        arch="fourier",
+        model=dict(hidden_dims=[256, 256, 256], mapping_size=128, scale=2.0),
+        pde=dict(
+            parameters={"g": 9.81, "L": 1.0, "linearized": True},
+            boundary_conditions={"dirichlet": {"type": "exact"}},
+        ),
+        training=dict(
+            num_epochs=1500, num_collocation_points=40000, batch_size=8192,
+            num_boundary_points=4096, num_initial_points=4096,
+            optimizer="adam_lbfgs", adam_lbfgs_switch_ratio=0.5,
+            learning_rate=2e-3, weight_decay=0.0,
+        ),
+    ),
     "cahn_hilliard": dict(
         # BASELINE.json headline config #4: "Cahn-Hilliard 2D phase field,
         # self-attention PINN (4th-order residual AD)". Target = the genuine

@@ -29,21 +29,34 @@ class AllenCahnEquation(PDEBase):
         return u_t - self._eps(coeffs) ** 2 * lap - val + val**3
 
     def exact_solution(self, x, t, coeffs: Optional[Coeffs] = None):
-        """Stationary tanh interface profile (reference: allen_cahn.py:113-130)."""
+        """Tanh interface profile.
+
+        The reference's ``tanh(x / 2eps)`` (reference: allen_cahn.py:113-130)
+        is NOT a stationary solution — it leaves an O(0.1) residual
+        ``(u^3 - u)/2`` even in float64. The genuine stationary interface of
+        ``u_t = eps^2 u_xx + u - u^3`` is ``tanh(x / (sqrt(2) eps))``;
+        request it with ``exact_solution.type: stationary_interface`` (the
+        convergence benchmark does). Default stays reference-parity.
+        """
         eps = self._eps(coeffs)
+        spec = self.settings.exact_solution or {}
+        kind = spec.get("type", "tanh") if isinstance(spec, dict) else "tanh"
+        width = jnp.sqrt(2.0) * eps if kind == "stationary_interface" else 2 * eps
         if self.dimension == 1:
-            return jnp.tanh(x[:, 0:1] / (2 * eps))
+            return jnp.tanh(x[:, 0:1] / width)
         sol = jnp.ones_like(x[:, 0:1])
         for dim in range(self.dimension):
-            sol = sol * jnp.tanh(x[:, dim : dim + 1] / (2 * eps))
+            sol = sol * jnp.tanh(x[:, dim : dim + 1] / width)
         return sol
 
     def _create_initial_condition(self, params: Dict) -> Callable:
         ic_type = params.get("type", "tanh")
-        if ic_type == "tanh":
+        if ic_type in ("tanh", "stationary_interface"):
+            eps = self._eps(None)
+            width = jnp.sqrt(2.0) * eps if ic_type == "stationary_interface" else 2 * eps
             if self.dimension == 1:
-                return lambda x, t: jnp.tanh(x[:, 0:1] / (2 * self._eps(None)))
+                return lambda x, t: jnp.tanh(x[:, 0:1] / width)
             return lambda x, t: jnp.tanh(
-                jnp.sum(x, axis=1, keepdims=True) / (2 * self._eps(None))
+                jnp.sum(x, axis=1, keepdims=True) / width
             )
         return super()._create_initial_condition(params)

@@ -33,14 +33,28 @@ class BlackScholesEquation(PDEBase):
         return self.coeff(coeffs, "r", default=0.05)
 
     def residual_pointwise(self, u: PointFn, z: jax.Array, coeffs: Optional[Coeffs]):
+        """Reference-parity residual uses CALENDAR time
+        (``V_t + 0.5 s^2 S^2 V_SS + r S V_S - r V``, reference:
+        black_scholes.py) — but the problem's IC pins the payoff at t=0,
+        i.e. t is TIME-TO-MATURITY, under which the closed form solves the
+        sign-flipped (heat-like) equation
+        ``V_t - 0.5 s^2 S^2 V_SS - r S V_S + r V = 0`` instead. Set
+        ``parameters.time_convention: to_maturity`` for the self-consistent
+        variant (the convergence benchmark does); default keeps parity.
+        """
         V = u(z)
         V_t = directional_derivative(u, z, self.dimension, 1)[0]
         sigma, r = self._sigma(coeffs), self._r(coeffs)
-        res = V_t - r * V
+        sign = (
+            -1.0
+            if str(self.parameters.get("time_convention", "calendar")) == "to_maturity"
+            else 1.0
+        )
+        res = V_t - sign * r * V
         for ax in range(self.dimension):
             S = z[ax]
             V_S, V_SS = directional_derivative(u, z, ax, 2)
-            res = res + 0.5 * sigma**2 * S**2 * V_SS + r * S * V_S
+            res = res + sign * (0.5 * sigma**2 * S**2 * V_SS + r * S * V_S)
         return res
 
     def exact_solution(self, x, t, coeffs: Optional[Coeffs] = None, use_cdf: bool = False):
@@ -49,6 +63,9 @@ class BlackScholesEquation(PDEBase):
         spec = self.settings.exact_solution
         K = float(spec.get("strike_price", spec.get("strike", 1.0)))
         sigma, r = self._sigma(coeffs), self._r(coeffs)
+        # YAML opt-in for the textbook CDF (exact_solution.cdf: true) so
+        # config-driven paths (validate / convergence bench) can request it.
+        use_cdf = use_cdf or bool(spec.get("cdf", False))
         cdf = norm.cdf if use_cdf else jax.scipy.special.erf
 
         def one_dim(S):
