@@ -59,32 +59,34 @@ RECIPES: Dict[str, dict] = {
         # hyperparameter): the basis lottery alone swings rel-L2 3.7e-3 <->
         # 2.8e-2 across seeds; basis 0 won a 6-candidate 500-epoch search.
         # Multi-seed runs then vary only trainable init + batch draws.
-        model=dict(hidden_dims=[256, 256, 256], mapping_size=128, scale=0.75,
+        model=dict(hidden_dims=[256, 256, 256], mapping_size=256, scale=0.75,
                    feature_seed=0),
-        # Shipping recipe = annealed adam-1500 at Fourier scale 0.75, the
-        # winner of three probe waves (probe_matrix.csv, seed 0 rel-L2
-        # unless noted). Scale sweep @ep1500: 0.6 1.9e-3 | 0.75 7.4e-4 |
-        # 1.0 1.7e-3 | 1.25 3.0e-3 | 2.0 (round-1 default) 3.7e-3 — the
-        # soliton+radiation field wants a low-frequency basis, mirroring
-        # the wave (0.35) and heat_2d (0.5) sweeps. Seeds 1/2 @0.75:
-        # 1.42e-3/1.54e-3 (init lottery; basis pinned by feature_seed).
-        # Ruled out: adam-3000 2.7e-3 (long training overfits the f32
-        # jet-noise: train loss down 7x, error UP) | adam_lbfgs@1.0 2.1e-3 |
-        # map=256 1.2e-3 (capacity is not the limit) | bc=exact 2.1e-3 |
-        # causal eps=1 ~equal | gpinn 1e-4..1e-3 no gain | f64 polish /
-        # f64 fresh-batch phase-2: no gain (residual RMS identical in f32
-        # and f64) | time-marching 4x1000 @scale 2.0: 9.5e-3 (inherited-IC
-        # error compounds) | co-moving frame 2.3e-2 | hard-IC transform
-        # 1.2e-2 | stage-2 correction nets: s0 7.4->6.9e-4, s1 1.42->1.41e-3
-        # (the correction stage inherits the SAME residual-to-error
-        # amplification; it polishes but cannot break the floor).
-        # Remaining floor = dispersive ill-conditioning: the error is a
-        # smooth far-field radiation wave growing with t while train loss
-        # sits at its ~3e-7 floor — train-loss improvements decouple from
-        # whole-domain error.
+        # Shipping recipe (wave-15): annealed adam-1500 at Fourier scale
+        # 0.75, mapping 256, 100k collocation points, causal weighting
+        # eps=1.0 — rel-L2 2.4e-4 / 5.4e-4 / 6.0e-4 (seeds 0/1/2), the only
+        # probed config with every seed under the 1e-3 bar. The three
+        # stacked levers attack different error sources and none suffices
+        # alone (probe_matrix.csv, @ep1500 scale 0.75 unless noted):
+        #   capacity (map 256):  s0 1.24e-3 | s1 6.2e-4 | s2 8.0e-4
+        #   density  (100k pts): s1 8.9e-4
+        #   causality (eps=1):   s1 1.16e-3 | s2 8.2e-4
+        #   map 128 baseline:    s0 7.4e-4  | s1 1.42e-3 | s2 1.54e-3
+        # (map 384 regresses: s1 1.38e-3 — 256 is the sweet spot.)
+        # Earlier waves: scale sweep @map128: 0.6 1.9e-3 | 0.75 7.4e-4 |
+        # 1.0 1.7e-3 | 2.0 (round-1) 3.7e-3 — the soliton+radiation field
+        # wants a low-frequency basis, mirroring wave (0.35)/heat_2d (0.5)/
+        # heat (0.75). Ruled out: adam-3000 @map128 (overfits f32 jet
+        # noise) | adam_lbfgs 1.8-2.1e-3 | bc=exact | gpinn | f64 polish
+        # (residual RMS identical in f32/f64) | EMA | time-marching 4x1000
+        # (inherited-IC error compounds) | co-moving frame | hard-IC
+        # transform | stage-2 correction nets (polish <=8%) | FO-PINN
+        # first-order system 9.9e-3 | restart ensembles + oracle-free
+        # selection (probe_kdv_selection.csv: picks the best member in only
+        # 1 of 2 ensembles) | basis re-draws (feature_seed 1-5: seed-
+        # dependent lottery, no basis dominates).
         training=dict(
-            num_epochs=1500, num_collocation_points=40000, batch_size=8192,
-            optimizer="adam",
+            num_epochs=1500, num_collocation_points=100000, batch_size=8192,
+            optimizer="adam", causal_eps=1.0,
             num_boundary_points=4096, num_initial_points=4096,
             learning_rate=2e-3, weight_decay=0.0,
         ),
