@@ -37,6 +37,9 @@ def main() -> None:
     cfg.training.num_initial_points = 100
     pde = create_pde(cfg)
     model = PINNModel(cfg, seed=0)
+    # Stacked-jet residual fast path (same numerics, one matmul per layer
+    # for all derivative streams) — what the trainer attaches by default.
+    pde.attach_fast_bundle(model)
     opt = optax.adam(2e-3)
     BATCH = 2048
 

@@ -102,6 +102,7 @@ def _train_one(
     cfg, model = _build_benchmark_model(pde_key, seed)
     cfg.training.collocation_distribution = strategy
     pde = create_pde(cfg)  # fresh PDE per strategy
+    pde.attach_fast_bundle(model)  # stacked-jet residual path (trainer default)
 
     agent = None
     rl_state = ()

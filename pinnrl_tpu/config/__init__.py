@@ -206,6 +206,12 @@ class TrainingConfig(_DictAccess):
     # compile + warmup — into this directory. New capability beyond the
     # reference (it has no profiler hooks; SURVEY §5.1).
     profile_dir: Optional[str] = None
+    # Stacked-jet residual fast path (ops/jet_mlp.py): transports ALL
+    # derivative streams through ONE matmul per Dense layer instead of
+    # per-point nested jvp chains. "auto" (default) enables it whenever the
+    # PDE/model pair supports it; true forces (error if unsupported); false
+    # disables. Numerically identical to the generic path (f32 roundoff).
+    stacked_jet: Any = "auto"
     loss_weights: Dict[str, float] = field(
         default_factory=lambda: {
             "residual": 15.0,
@@ -248,6 +254,11 @@ class TrainingConfig(_DictAccess):
         if int(self.ensemble_size) < 1:
             raise ValueError(
                 f"training.ensemble_size must be >= 1, got {self.ensemble_size!r}"
+            )
+        if self.stacked_jet not in (True, False, "auto", "on", "off"):
+            raise ValueError(
+                "training.stacked_jet must be true, false, or 'auto', "
+                f"got {self.stacked_jet!r}"
             )
         if not (0.0 <= float(self.param_ema) < 1.0):
             raise ValueError(

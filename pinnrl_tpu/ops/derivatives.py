@@ -88,7 +88,16 @@ def _supports_jet(u: PointFn, z_shape: tuple, dtype) -> bool:
 def directional_derivative(
     u: PointFn, z: jax.Array, axis: int, order: int, mode: str = "jvp"
 ) -> list:
-    """Derivatives of orders 1..order of u along coordinate ``axis`` at point z."""
+    """Derivatives of orders 1..order of u along coordinate ``axis`` at point z.
+
+    ``u`` may be a :class:`~pinnrl_tpu.ops.jet_mlp.BundleView` — a stand-in
+    backed by precomputed stacked-jet streams — in which case the streams
+    are returned directly (the fast residual path; see ops/jet_mlp.py).
+    """
+    from pinnrl_tpu.ops.jet_mlp import BundleView
+
+    if isinstance(u, BundleView):
+        return u.directional(axis, order)
     v = jnp.zeros_like(z).at[axis].set(1.0)
     if mode == "jet":
         return _jet_series(u, z, v, order)

@@ -95,6 +95,10 @@ class PDEBase:
             )
 
         self.collocation_history: list = []
+        # Optional stacked-jet fast path (ops/jet_mlp.py): a batched
+        # (params, z) -> (value, streams) evaluator attached by
+        # ``attach_fast_bundle`` once the model is known.
+        self._fast_bundle_fn = None
         self._validate_parameters()
 
     # ------------------------------------------------------------------ #
@@ -189,6 +193,50 @@ class PDEBase:
     spatial_orders: Tuple[int, ...] = (1, 2)
     temporal_orders: Tuple[int, ...] = (1,)
 
+    # True when ``residual_pointwise`` accesses the network ONLY through
+    # ``u(z)`` / ``directional_derivative`` / ``laplacian`` — the contract
+    # the stacked-jet BundleView satisfies (ops/jet_mlp.py). Subclasses
+    # that differentiate composed functions (Cahn-Hilliard's chemical
+    # potential) must set this False.
+    bundle_compatible: bool = True
+
+    def attach_fast_bundle(self, model, enable: str | bool = "auto") -> bool:
+        """Attach the stacked-jet residual fast path for ``model``.
+
+        ``enable``: True / False / "auto" (attach when the architecture is
+        supported and the residual is bundle-compatible). Returns whether
+        the fast path is active. Called by the trainer and benchmarks once
+        the model exists; the PDE alone only sees ``apply_fn``.
+        """
+        from pinnrl_tpu.ops import jet_mlp
+
+        if enable in (False, "off", "false"):
+            self._fast_bundle_fn = None
+            return False
+        if enable == "on":
+            enable = True
+        ok = (
+            self.bundle_compatible
+            and self.system_size == 1
+            and jet_mlp.supports(model)
+        )
+        if not ok:
+            if enable is True:
+                raise ValueError(
+                    "stacked_jet=true but the PDE/model pair does not support "
+                    f"the fast bundle path (pde={self.pde_type}, "
+                    f"arch={model.config.architecture})"
+                )
+            self._fast_bundle_fn = None
+            return False
+        self._fast_bundle_fn = jet_mlp.make_bundle_fn(
+            model,
+            self.dimension,
+            spatial_order=max(self.spatial_orders, default=0),
+            temporal_order=max(self.temporal_orders, default=0),
+        )
+        return True
+
     def _scalar_u(self, apply_fn: Callable, params) -> PointFn:
         """Point-wise scalar restriction of the network (channel 0)."""
 
@@ -217,6 +265,20 @@ class PDEBase:
 
             r = jax.vmap(lambda zz: self.residual_pointwise_system(uvec, zz, coeffs))(z)
             return r.reshape(-1, k)
+        if self._fast_bundle_fn is not None:
+            # Stacked-jet fast path: the network + all derivative streams
+            # are evaluated once for the whole batch (one matmul per layer);
+            # only the cheap residual arithmetic is vmapped, against a
+            # BundleView that serves the precomputed streams.
+            from pinnrl_tpu.ops.jet_mlp import BundleView
+
+            value, streams = self._fast_bundle_fn(params, z)
+
+            def point_res(val, st, zz):
+                return self.residual_pointwise(BundleView(val, st), zz, coeffs)
+
+            r = jax.vmap(point_res)(value, streams, z)
+            return r.reshape(-1, 1)
         u = self._scalar_u(apply_fn, params)
         r = jax.vmap(lambda zz: self.residual_pointwise(u, zz, coeffs))(z)
         return r.reshape(-1, 1)

@@ -25,6 +25,10 @@ class CahnHilliardEquation(PDEBase):
     default_parameters = {"epsilon": 0.1, "mobility": 1.0, "kappa": 0.01}
     spatial_orders = (2, 4)
     temporal_orders = (1,)
+    # The residual differentiates the composed chemical potential
+    # mu(z) = u^3 - u - eps^2 lap(u), which a precomputed u-derivative
+    # bundle cannot serve (see PDEBase.bundle_compatible).
+    bundle_compatible = False
 
     def _eps(self, coeffs: Optional[Coeffs]):
         return self.coeff(coeffs, "epsilon", default=0.1)

@@ -70,6 +70,14 @@ class PDETrainer:
             "adaptive" if rl_agent is not None else self.tcfg.collocation_distribution
         )
 
+        # Stacked-jet residual fast path (ops/jet_mlp.py): one matmul per
+        # layer transports all derivative streams. "auto" (default) attaches
+        # whenever the PDE/model pair supports it; exact same numerics as the
+        # per-point path (see tests/test_jet_fastpath.py).
+        self.fast_bundle_active = pde.attach_fast_bundle(
+            model, enable=self.tcfg.get("stacked_jet", "auto")
+        )
+
         self.optimizer_name = self.tcfg.optimizer
         self._ema_decay = float(getattr(self.tcfg, "param_ema", 0.0))
         self.switch_epoch = (
