@@ -100,6 +100,85 @@ def supports(model, pde=None) -> bool:
     return True
 
 
+def _transport_block(
+    h0: jax.Array,
+    groups: List[List[jax.Array]],
+    gamma: Optional[jax.Array],
+    beta: Optional[jax.Array],
+    act_name: str,
+):
+    """Hand-rolled Taylor transport of [LayerNorm ->] tanh for orders <= 3.
+
+    One fused set of VPU formulas shared across ALL direction groups: the
+    LayerNorm statistics streams and the tanh derivative factors are
+    computed once, where the generic path (one ``jet.jet`` call per group)
+    recomputes them per group. Returns (a0, groups_out).
+
+    LayerNorm streams (c = h - mean(h), var = mean(c^2), s = sqrt(var+eps),
+    q = c/s): differentiating s^2 = var + eps and c = q s repeatedly gives
+        s1 = var1 / (2 s0)
+        s2 = (var2 - 2 s1^2) / (2 s0)
+        s3 = (var3 - 6 s1 s2) / (2 s0)
+        q_k = (c_k - sum_{j<k} C(k,j) q_j s_{k-j}) / s0      (Leibniz)
+    tanh streams (a = tanh(y), d1 = 1-a^2, d2 = -2 a d1,
+    d3 = -2 d1 (1 - 3 a^2)): Faa di Bruno orders 1..3.
+    """
+    if act_name != "tanh":
+        raise ValueError("hand-rolled transport supports tanh only")
+
+    def mean(v):
+        return jnp.mean(v, axis=-1, keepdims=True)
+
+    if gamma is not None:
+        mu0 = mean(h0)
+        c0 = h0 - mu0
+        var0 = mean(c0 * c0)
+        s0 = jnp.sqrt(var0 + _LN_EPS)
+        inv_s0 = 1.0 / s0
+        q0 = c0 * inv_s0
+        y0 = q0 * gamma + beta
+    else:
+        y0 = h0
+
+    a0 = jnp.tanh(y0)
+    d1 = 1.0 - a0 * a0
+    d2 = -2.0 * a0 * d1
+    d3 = -2.0 * d1 * (1.0 - 3.0 * a0 * a0)
+
+    groups_out: List[List[jax.Array]] = []
+    for streams in groups:
+        k = len(streams)
+        if gamma is not None:
+            c = [streams[i] - mean(streams[i]) for i in range(k)]
+            # variance streams: var = mean(c^2)
+            var1 = 2.0 * mean(c0 * c[0])
+            s1 = 0.5 * var1 * inv_s0
+            q1 = (c[0] - q0 * s1) * inv_s0
+            y = [q1 * gamma]
+            if k >= 2:
+                var2 = 2.0 * mean(c[0] * c[0] + c0 * c[1])
+                s2 = (0.5 * var2 - s1 * s1) * inv_s0
+                q2 = (c[1] - 2.0 * q1 * s1 - q0 * s2) * inv_s0
+                y.append(q2 * gamma)
+            if k >= 3:
+                var3 = 2.0 * mean(3.0 * c[0] * c[1] + c0 * c[2])
+                s3 = (0.5 * var3 - 3.0 * s1 * s2) * inv_s0
+                q3 = (c[2] - 3.0 * q2 * s1 - 3.0 * q1 * s2 - q0 * s3) * inv_s0
+                y.append(q3 * gamma)
+        else:
+            y = streams
+
+        out = [d1 * y[0]]
+        if k >= 2:
+            out.append(d1 * y[1] + d2 * y[0] * y[0])
+        if k >= 3:
+            out.append(
+                d1 * y[2] + 3.0 * d2 * y[0] * y[1] + d3 * y[0] * y[0] * y[0]
+            )
+        groups_out.append(out)
+    return a0, groups_out
+
+
 def make_bundle_fn(
     model,
     dimension: int,
@@ -189,12 +268,27 @@ def make_bundle_fn(
                 j += len(g)
             return new_prim, new_streams
 
+        max_order = max((len(g) for g in h_streams), default=0)
+        handrolled = cfg.activation.lower() == "tanh" and max_order <= 3
+
         for i in range(n_hidden):
             h0, h_streams = _dense(i, h0, h_streams)
 
             if use_ln:
                 gamma = _tree(params, f"LayerNorm_{i}", "scale")
                 beta = _tree(params, f"LayerNorm_{i}", "bias")
+            else:
+                gamma = beta = None
+
+            if handrolled:
+                # Fused transport: LN statistics and tanh derivative factors
+                # computed ONCE and shared across every direction group.
+                h0, h_streams = _transport_block(
+                    h0, h_streams, gamma, beta, "tanh"
+                )
+                continue
+
+            if use_ln:
 
                 def block(h, _g=gamma, _b=beta):
                     # flax LayerNorm (fast-variance form, eps inside sqrt).

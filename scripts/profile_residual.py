@@ -40,6 +40,7 @@ def build_step(pde_key: str, batch: int, hidden: int, mapping: int):
     cfg.training.num_initial_points = 4096
     pde = create_pde(cfg)
     model = PINNModel(cfg, seed=0)
+    pde.attach_fast_bundle(model)  # stacked-jet path (the trainer default)
     opt = optax.adam(1e-3)
     params = model.params
     opt_state = opt.init(params)

@@ -113,6 +113,39 @@ def test_bundle_view_missing_order_raises():
         view.directional(1, 1)
 
 
+def test_transport_block_matches_jet():
+    """Hand-rolled LN+tanh Taylor transport (orders 1-3, shared statistics)
+    vs jax.experimental.jet on the same block."""
+    from jax.experimental import jet
+
+    from pinnrl_tpu.ops.jet_mlp import _LN_EPS, _transport_block
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 7)
+    h0 = jax.random.normal(ks[0], (16, 24))
+    g1 = [jax.random.normal(ks[1], (16, 24)), jax.random.normal(ks[2], (16, 24)),
+          jax.random.normal(ks[3], (16, 24))]
+    g2 = [jax.random.normal(ks[4], (16, 24))]
+    gamma = 1.0 + 0.1 * jax.random.normal(ks[5], (24,))
+    beta = 0.1 * jax.random.normal(ks[6], (24,))
+
+    for g_, b_ in ((gamma, beta), (None, None)):
+        a0, outs = _transport_block(h0, [g1, g2], g_, b_, "tanh")
+
+        def block(h):
+            if g_ is not None:
+                mu = jnp.mean(h, axis=-1, keepdims=True)
+                var = jnp.mean(h * h, axis=-1, keepdims=True) - mu * mu
+                h = (h - mu) / jnp.sqrt(var + _LN_EPS) * g_ + b_
+            return jnp.tanh(h)
+
+        for streams, got in zip((g1, g2), outs):
+            ref0, ref = jet.jet(block, (h0,), ([*streams],))
+            assert jnp.allclose(a0, ref0, atol=1e-5)
+            for a, b in zip(got, ref):
+                assert jnp.allclose(a, b, atol=1e-4), (len(streams), g_ is None)
+
+
 def test_stacked_jet_config_validation():
     cfg = load_config(pde_type="heat", architecture="fourier")
     assert cfg.training.get("stacked_jet", "auto") == "auto"
