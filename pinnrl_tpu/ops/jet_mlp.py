@@ -87,7 +87,7 @@ def _tree(params, *path):
 def supports(model, pde=None) -> bool:
     """True when ``make_bundle_fn`` can evaluate this model structurally."""
     cfg = model.config
-    if cfg.architecture != "fourier":
+    if cfg.architecture not in ("fourier", "feedforward"):
         return False
     if bool(cfg.arch_params.get("modified", False)):
         return False
@@ -221,12 +221,9 @@ def make_bundle_fn(
             v = v.at[:dimension].set(-frame_speed)
         return v * in_scale
 
-    def bundle_fn(params, z: jax.Array):
-        if trainable_features:
-            B = _tree(params, "FourierFeatures_0", "B")
-        else:
-            B = _tree(model.constants, "constants", "FourierFeatures_0", "B")
+    is_fourier = cfg.architecture == "fourier"
 
+    def bundle_fn(params, z: jax.Array):
         # ---- input affine map --------------------------------------- #
         x = z
         if frame_speed is not None:
@@ -234,24 +231,40 @@ def make_bundle_fn(
             x = jnp.concatenate([xs - frame_speed * t, t], axis=-1)
         w0 = (x - in_lo) * in_scale - 1.0
 
-        scale_2pi = 2.0 * jnp.pi if periodic else 1.0
+        if is_fourier:
+            if trainable_features:
+                B = _tree(params, "FourierFeatures_0", "B")
+            else:
+                B = _tree(model.constants, "constants", "FourierFeatures_0", "B")
+            scale_2pi = 2.0 * jnp.pi if periodic else 1.0
 
-        # ---- Fourier embedding (closed-form streams) ----------------- #
-        p0 = scale_2pi * (w0 @ B)  # (N, m)
-        sin0, cos0 = jnp.sin(p0), jnp.cos(p0)
-        # streams: list aligned with `groups`; each entry [d1..dk] of (N, 2m)
-        feat_streams: List[List[jax.Array]] = []
-        for ax, k in groups:
-            p1 = scale_2pi * (_net_direction(ax) @ B)  # (m,), constant/batch
-            s_cur, c_cur = sin0, cos0
-            streams_g: List[jax.Array] = []
-            for _ in range(k):
-                # d/ds sin(p(s)) = cos * p1 ; d/ds cos(p(s)) = -sin * p1
-                s_cur, c_cur = c_cur * p1, -s_cur * p1
-                streams_g.append(jnp.concatenate([s_cur, c_cur], axis=-1))
-            feat_streams.append(streams_g)
-        h0 = jnp.concatenate([sin0, cos0], axis=-1)
-        h_streams = feat_streams
+            # ---- Fourier embedding (closed-form streams) ------------- #
+            p0 = scale_2pi * (w0 @ B)  # (N, m)
+            sin0, cos0 = jnp.sin(p0), jnp.cos(p0)
+            # streams: aligned with `groups`; each entry [d1..dk] of (N, 2m)
+            feat_streams: List[List[jax.Array]] = []
+            for ax, k in groups:
+                p1 = scale_2pi * (_net_direction(ax) @ B)  # (m,), const/batch
+                s_cur, c_cur = sin0, cos0
+                streams_g: List[jax.Array] = []
+                for _ in range(k):
+                    # d/ds sin(p(s)) = cos * p1 ; d/ds cos(p(s)) = -sin * p1
+                    s_cur, c_cur = c_cur * p1, -s_cur * p1
+                    streams_g.append(jnp.concatenate([s_cur, c_cur], axis=-1))
+                feat_streams.append(streams_g)
+            h0 = jnp.concatenate([sin0, cos0], axis=-1)
+            h_streams = feat_streams
+        else:
+            # Plain MLP: the input map is affine, so first-order streams are
+            # the constant (mapped) direction and higher orders are zero
+            # until the first nonlinearity.
+            h0 = w0
+            h_streams = []
+            for ax, k in groups:
+                v = jnp.broadcast_to(_net_direction(ax), w0.shape)
+                h_streams.append(
+                    [v] + [jnp.zeros_like(w0) for _ in range(k - 1)]
+                )
 
         # ---- hidden layers: stacked matmul + jet transport ----------- #
         def _dense(i: int, prim: jax.Array, streams: List[List[jax.Array]]):

@@ -81,9 +81,18 @@ def test_fastpath_trainable_features():
     _compare(pde, model, x, t)
 
 
-def test_fastpath_unsupported_falls_back():
-    cfg = load_config(pde_type="heat", architecture="feedforward")
+def test_fastpath_feedforward_matches_generic():
+    """The plain MLP trunk (no embedding) rides the same stacked transport."""
+    cfg = load_config(pde_type="burgers", architecture="feedforward")
     cfg.model.hidden_dims = [16, 16]
+    pde = create_pde(cfg)
+    model = PINNModel(cfg, seed=0)
+    x, t = pde.generate_collocation_points(jax.random.PRNGKey(1), 32)
+    _compare(pde, model, x, t)
+
+
+def test_fastpath_unsupported_falls_back():
+    cfg = load_config(pde_type="heat", architecture="resnet")
     pde = create_pde(cfg)
     model = PINNModel(cfg, seed=0)
     assert not pde.attach_fast_bundle(model)  # auto -> graceful fallback
