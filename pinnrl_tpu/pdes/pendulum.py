@@ -58,6 +58,39 @@ class PendulumEquation(PDEBase):
             return A * jnp.sin(f * (x[:, 0:1] + t))
         raise ValueError(f"Unknown exact solution type: {sol_type!r}")
 
+    def compute_loss(self, apply_fn, params, x, t, coeffs=None, key=None):
+        """Adds the angular-velocity initial condition theta_t(t0) =
+        d/dt theta_exact(t0). A 2nd-order-in-time ODE is underdetermined with
+        a value-only IC: residual-zero solutions form A cos(w t) + B sin(w t)
+        and leaving B free showed up as seed-dependent phase drift (rel-L2
+        0.07-0.34 at train loss ~2e-4). Mirrors the wave equation's velocity
+        IC (pdes/wave.py)."""
+        losses = super().compute_loss(apply_fn, params, x, t, coeffs=coeffs, key=key)
+        if not self.settings.exact_solution:
+            return losses
+        key = key if key is not None else jax.random.PRNGKey(0)
+        _, n_i = self._bc_counts(x.shape[0])
+        x_i, t_i = self._sample_initial_points(jax.random.fold_in(key, 0x1C), n_i)
+        u = self._scalar_u(apply_fn, params)
+        z_i = jnp.concatenate([x_i, t_i], axis=-1)
+        u_t0 = jax.vmap(
+            lambda zz: directional_derivative(u, zz, self.dimension, 1)[0]
+        )(z_i).reshape(-1, 1)
+        # d/dt of the configured exact solution at the initial time, by jvp
+        # (small_angle: -theta0 * omega * sin(omega t0) = 0 at t0 = 0).
+        target = jax.jvp(
+            lambda tt: self.exact_solution(x_i, tt, coeffs),
+            (t_i,), (jnp.ones_like(t_i),),
+        )[1]
+        velocity_ic = self._loss(u_t0 - target)
+        losses["initial"] = losses["initial"] + velocity_ic
+        lw = self._loss_weights()
+        w_ic = float(lw.get("initial", 10.0))
+        mode = self._training_mode()
+        active = 0.0 if mode == "data_only" else 1.0
+        losses["total"] = losses["total"] + active * w_ic * velocity_ic
+        return losses
+
     def compute_energy(self, apply_fn, params, x, t, coeffs: Optional[Coeffs] = None):
         """Kinetic + potential energy (reference: pendulum_equation.py:158-189)."""
         u = self._scalar_u(apply_fn, params)

@@ -229,3 +229,30 @@ def test_wave_velocity_ic_uses_fresh_points():
     l2 = pde.compute_loss(apply_fn, {}, x, t, key=jax.random.PRNGKey(5))
     assert float(l1["initial"]) != float(l2["initial"])
     assert np.isfinite(float(l1["total"]))
+
+
+def test_pendulum_velocity_ic_pins_phase():
+    """theta_t(0)=0 must enter the initial loss: a phase-drifted solution
+    theta0*cos(wt) + B*sin(wt) has zero linearized residual and a matching
+    value IC, so only the velocity IC can reject it."""
+    cfg = load_config(pde_type="pendulum", architecture="feedforward")
+    cfg.pde.parameters["linearized"] = True
+    cfg.training.num_boundary_points = 32
+    cfg.training.num_initial_points = 32
+    pde = create_pde(cfg)
+    omega = jnp.sqrt(9.81)
+    theta0 = 0.5
+
+    def make_apply(B):
+        return lambda p, z: (
+            theta0 * jnp.cos(omega * z[..., 1:2]) + B * jnp.sin(omega * z[..., 1:2])
+        )
+
+    x = jnp.linspace(0, 3.14, 16).reshape(-1, 1)
+    t = jnp.linspace(0, 10, 16).reshape(-1, 1)
+    key = jax.random.PRNGKey(0)
+    l_exact = pde.compute_loss(make_apply(0.0), {}, x, t, key=key)
+    l_drift = pde.compute_loss(make_apply(0.3), {}, x, t, key=key)
+    # velocity IC of the drifted solution: theta_t(0) = B*omega = 0.94
+    assert float(l_drift["initial"]) > float(l_exact["initial"]) + 0.1
+    assert float(l_exact["initial"]) < 1e-4
