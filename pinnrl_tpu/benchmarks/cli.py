@@ -17,6 +17,18 @@ def _print_table(rows, headers):
         print(fmt.format(*[str(c) for c in r]))
 
 
+def _write_csv(path: str, text: str) -> None:
+    """Write a header+rows CSV; append rows (no header) if the file exists,
+    so multi-seed suites accumulate instead of overwriting."""
+    out = Path(path)
+    if out.exists():
+        with out.open("a") as f:
+            f.write(text.split("\n", 1)[1])
+    else:
+        out.write_text(text)
+    print(f"CSV written to {path}")
+
+
 def _fdm_command(args) -> int:
     from pinnrl_tpu.benchmarks.fdm import solve_heat_1d, solve_wave_1d
 
@@ -61,8 +73,7 @@ def _sampling_command(args) -> int:
         ["pde", "strategy", "final_loss", "l2_error", "rel_l2", "wall_s", "pts/sec"],
     )
     if args.csv:
-        Path(args.csv).write_text(results_to_csv(results))
-        print(f"CSV written to {args.csv}")
+        _write_csv(args.csv, results_to_csv(results))
     return 0
 
 
@@ -141,8 +152,7 @@ def _operator_command(args) -> int:
         ["dataset", "arch", "mode", "epochs", "test_rel_l2", "max_err", "wall_s"],
     )
     if args.csv:
-        Path(args.csv).write_text(results_to_csv([r]))
-        print(f"CSV written to {args.csv}")
+        _write_csv(args.csv, results_to_csv([r]))
     return 0
 
 
@@ -163,8 +173,7 @@ def _inverse_command(args) -> int:
         ["pde", "param", "truth", "guess", "identified", "rel_err", "epochs", "wall_s"],
     )
     if args.csv:
-        Path(args.csv).write_text(results_to_csv(results))
-        print(f"CSV written to {args.csv}")
+        _write_csv(args.csv, results_to_csv(results))
     return 0
 
 
@@ -199,8 +208,7 @@ def _convergence_command(args) -> int:
     ]
     _print_table(rows, ["pde", "arch", "epochs", "rel_l2", "max_err", "wall_s", "pts/sec"])
     if args.csv:
-        Path(args.csv).write_text(results_to_csv(results))
-        print(f"CSV written to {args.csv}")
+        _write_csv(args.csv, results_to_csv(results))
     return 0
 
 

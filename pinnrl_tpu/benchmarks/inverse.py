@@ -62,6 +62,17 @@ RECIPES: Dict[str, dict] = {
         identify=["sigma", "r"],
         guesses={"sigma": 0.4, "r": 0.02},  # truth sigma=0.2, r=0.05
         arch="fourier",
+        # Same well-posed variant as the convergence recipe: to-maturity time
+        # convention + textbook CDF closed form + exact-trace BCs. Against the
+        # default calendar-time variant (whose "exact" does not satisfy the
+        # residual) NO (sigma, r) is consistent with the observations and the
+        # optimizer collapses both to 0 (measured: sigma -> -1e-22, r -> -4e-4).
+        pde=dict(
+            parameters={"sigma": 0.2, "r": 0.05, "time_convention": "to_maturity"},
+            exact_solution={"type": "black_scholes", "strike": 100.0,
+                            "option_type": "call", "cdf": True},
+            boundary_conditions={"dirichlet": {"type": "exact"}},
+        ),
         model=dict(hidden_dims=[128, 128, 128], mapping_size=64, scale=1.0),
         training=dict(
             num_epochs=2000, num_collocation_points=20000, batch_size=4096,
@@ -80,6 +91,11 @@ def run_inverse(
 ) -> List[InverseResult]:
     recipe = RECIPES[pde_key]
     cfg = load_config(pde_type=pde_key, architecture=recipe["arch"])
+    for k, v in (recipe.get("pde") or {}).items():
+        if k == "parameters":
+            cfg.pde.parameters.update(v)
+        else:
+            setattr(cfg.pde, k, v)
     cfg.pde.trainable_parameters = list(recipe["identify"])
     cfg.pde.parameter_initial_guesses = dict(recipe["guesses"])
     m = recipe["model"]
