@@ -285,6 +285,9 @@ class ModelConfig(_DictAccess):
     activation: str = "tanh"
     dropout: float = 0.0
     layer_norm: bool = True
+    # Hard initial-condition imposition: compose u = u0(x) [+ (t-t0) v0(x)]
+    # + ramp(t) * net so the IC holds exactly (see PDEBase.hard_ic_transform).
+    hard_ic: bool = False
     arch_params: Dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self) -> None:

@@ -510,6 +510,56 @@ class PDEBase:
             u = u + noise * jax.random.normal(k_noise, u.shape)
         self.set_observations(x, t, u)
 
+    def hard_ic_transform(self) -> Callable:
+        """Output transform imposing the initial condition EXACTLY:
+
+            u(x, t) = u0(x) [+ (t - t0) * v0(x)]  +  ramp(t) * net(x, t)
+
+        with ramp = tanh(tau) for 1st-order-in-time PDEs and tanh(tau)^2
+        (zero value AND slope at t0) for 2nd-order ones, tau = (t-t0)/T.
+        The velocity target v0 is d/dt of the exact solution at t0 when one
+        is configured, else 0. Standard hard-constraint formulation (Lagaris
+        et al.); the soft IC losses become trivially ~0 and the optimizer
+        spends its entire budget on the residual. Scalar (output_dim == 1)
+        PDEs only.
+
+        Wired by PDETrainer when ``model.hard_ic`` is true; composes at the
+        PINNModel.apply choke point so residual derivatives flow through it.
+        """
+        ic_fn = self.boundary_conditions.get("initial")
+        if ic_fn is None:
+            raise ValueError(f"{self.pde_type}: hard_ic requires an initial condition")
+        if int(self.settings.output_dim or 1) != 1:
+            raise ValueError("hard_ic supports scalar (output_dim == 1) PDEs only")
+        t0 = float(self.time_domain[0])
+        horizon = float(self.time_domain[1]) - t0
+        second_order = 2 in tuple(getattr(self, "temporal_orders", (1,)))
+        has_exact = bool(self.settings.exact_solution)
+
+        def transform(z: jax.Array, out: jax.Array) -> jax.Array:
+            flat = z.reshape(-1, z.shape[-1])
+            x, t = flat[:, :-1], flat[:, -1:]
+            tt0 = jnp.full_like(t, t0)
+            u0 = ic_fn(x, tt0)
+            tau = (t - t0) / horizon
+            if second_order:
+                ramp = jnp.tanh(tau) ** 2
+                if has_exact:
+                    v0 = jax.jvp(
+                        lambda s: self.exact_solution(x, s),
+                        (tt0,), (jnp.ones_like(tt0),),
+                    )[1]
+                else:
+                    v0 = jnp.zeros_like(u0)
+                base = u0 + (t - t0) * v0
+            else:
+                ramp = jnp.tanh(tau)
+                base = u0
+            res = base + ramp * out.reshape(flat.shape[0], -1)
+            return res.reshape(out.shape)
+
+        return transform
+
     def _compute_data_loss(self, apply_fn: Callable, params) -> jax.Array:
         """Observation misfit (reference: pde_base.py:281-291)."""
         if self.observations is None:

@@ -70,6 +70,14 @@ class PDETrainer:
             "adaptive" if rl_agent is not None else self.tcfg.collocation_distribution
         )
 
+        # Hard initial-condition imposition (model.hard_ic): compose
+        # u = u0(x) [+ (t-t0) v0(x)] + ramp(t) * net so the IC (and for
+        # 2nd-order-in-time PDEs the velocity IC) holds exactly by
+        # construction. Must run BEFORE attach_fast_bundle: the stacked-jet
+        # path declares itself unsupported when an output transform is set.
+        if getattr(config.model, "hard_ic", False) and model.output_transform is None:
+            model.output_transform = pde.hard_ic_transform()
+
         # Stacked-jet residual fast path (ops/jet_mlp.py): one matmul per
         # layer transports all derivative streams. "auto" (default) attaches
         # whenever the PDE/model pair supports it; exact same numerics as the

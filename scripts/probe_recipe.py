@@ -63,6 +63,8 @@ def main():
             ap["moving_frame_speed"] = float(v)
         elif k == "hidden":
             cfg.model.hidden_dims = [int(x) for x in v.split("x")]
+        elif k == "hard_ic":
+            cfg.model.hard_ic = v.lower() in ("1", "true")
         elif k == "ensemble":
             cfg.training.ensemble_size = int(v)
         elif k == "ema":

@@ -256,3 +256,63 @@ def test_pendulum_velocity_ic_pins_phase():
     # velocity IC of the drifted solution: theta_t(0) = B*omega = 0.94
     assert float(l_drift["initial"]) > float(l_exact["initial"]) + 0.1
     assert float(l_exact["initial"]) < 1e-4
+
+
+def test_hard_ic_transform_pins_value_and_velocity():
+    """model.hard_ic composes u = u0 + (t-t0) v0 + tanh^2(tau) net: at t0 the
+    value equals the IC target and (for 2nd-order-in-time PDEs) the time
+    derivative equals d/dt exact, independent of the network."""
+    from pinnrl_tpu.models import PINNModel
+    from pinnrl_tpu.ops.derivatives import directional_derivative
+
+    cfg = load_config(pde_type="pendulum", architecture="feedforward")
+    cfg.pde.parameters["linearized"] = True
+    cfg.model.hard_ic = True
+    pde = create_pde(cfg)
+    model = PINNModel(cfg, seed=3)
+    model.output_transform = pde.hard_ic_transform()
+    x = jnp.linspace(0, 3.14, 9).reshape(-1, 1)
+    z0 = jnp.concatenate([x, jnp.zeros_like(x)], axis=1)
+    np.testing.assert_allclose(np.asarray(model.apply(model.params, z0)), 0.5, atol=1e-6)
+    u = pde._scalar_u(model.apply, model.params)
+    vel = jax.vmap(lambda zz: directional_derivative(u, zz, 1, 1)[0])(z0)
+    np.testing.assert_allclose(np.asarray(vel), 0.0, atol=1e-5)
+
+
+def test_hard_ic_first_order_and_trainer_wiring():
+    """1st-order PDEs get a tanh ramp (value-only pin); PDETrainer wires the
+    transform from model.hard_ic and the stacked-jet fast path stands down."""
+    from pinnrl_tpu.models import PINNModel
+    from pinnrl_tpu.training.trainer import PDETrainer
+
+    cfg = load_config(pde_type="heat", architecture="fourier")
+    cfg.model.hard_ic = True
+    cfg.model.hidden_dims = [16, 16]
+    cfg.model.arch_params["mapping_size"] = 8
+    t = cfg.training
+    t.num_epochs = 2; t.batch_size = 32; t.num_collocation_points = 64
+    t.num_boundary_points = 16; t.num_initial_points = 16
+    pde = create_pde(cfg)
+    model = PINNModel(cfg, seed=0)
+    trainer = PDETrainer(model, pde, cfg)
+    assert model.output_transform is not None
+    assert not trainer.fast_bundle_active
+    x = jnp.linspace(0, 2, 5).reshape(-1, 1)
+    z0 = jnp.concatenate([x, jnp.zeros_like(x)], axis=1)
+    ic = pde.boundary_conditions["initial"](x, jnp.zeros_like(x))
+    np.testing.assert_allclose(
+        np.asarray(model.apply(model.params, z0)), np.asarray(ic), atol=1e-5
+    )
+    res = trainer.train(seed=0)
+    assert res["status"] == "completed"
+
+
+def test_hard_ic_rejects_vector_output():
+    cfg = load_config(pde_type="kdv", architecture="feedforward")
+    cfg.pde.output_dim = 3
+    pde = create_pde(cfg)
+    try:
+        pde.hard_ic_transform()
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "scalar" in str(e)
