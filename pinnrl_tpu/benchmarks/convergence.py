@@ -294,10 +294,22 @@ def run_convergence(
     pde_key: str,
     seed: int = 0,
     epochs: Optional[int] = None,
+    experiment_dir: Optional[str] = None,
+    resume_from: Optional[str] = None,
 ) -> ConvergenceResult:
+    """``experiment_dir`` turns on the trainer's periodic mid-run
+    checkpointing; ``resume_from`` restarts from such a checkpoint — together
+    they let a suite ride out TPU worker crashes (observed MTBF ~10 min on a
+    degraded backend) by re-running the same recipe in a fresh process
+    without losing completed epochs. Not supported for multi-stage recipes."""
     recipe = RECIPES[pde_key]
     cfg = build_recipe_config(pde_key, epochs)
     t = cfg.training
+    if experiment_dir:
+        # Benchmark checkpointing wants bare weights, not figure rendering.
+        cfg.evaluation.save_plots = False
+        t.validation_frequency = min(t.validation_frequency,
+                                     max(t.num_epochs // 10, 1))
 
     pde = create_pde(cfg)
     stages = recipe.get("stages")
@@ -336,7 +348,9 @@ def run_convergence(
     model = PINNModel(cfg, seed=seed)
     trainer = PDETrainer(model, pde, cfg)
     t0 = time.perf_counter()
-    res = trainer.train(seed=seed)
+    res = trainer.train(
+        seed=seed, experiment_dir=experiment_dir, resume_from=resume_from
+    )
     wall = time.perf_counter() - t0
     params = trainer._final_state["params"]["net"]
     val = pde.validate(model.apply, params, num_points=20000)

@@ -991,7 +991,27 @@ class PDETrainer:
         from flax import serialization
 
         path = Path(path)
-        state = serialization.from_bytes(template_state, path.read_bytes())
+        raw = path.read_bytes()
+        try:
+            state = serialization.from_bytes(template_state, raw)
+        except Exception:
+            # Tree mismatch — e.g. the checkpoint was written in the L-BFGS
+            # phase (different opt_state pytree) and the template is the
+            # fresh adam state. Restore subtree-by-subtree and keep the fresh
+            # opt_state: when the resume epoch is past the phase switch the
+            # training loop re-initializes the optimizer anyway, so only the
+            # line-search memory is lost — acceptable for crash recovery.
+            restored = serialization.msgpack_restore(raw)
+            state = dict(template_state)
+            for k, v in template_state.items():
+                if k == "opt_state" or k not in restored:
+                    continue
+                try:
+                    state[k] = serialization.from_state_dict(v, restored[k])
+                except Exception:
+                    logger.warning(
+                        "checkpoint: could not restore %r; keeping fresh state", k
+                    )
         side = json.loads(path.with_suffix(".json").read_text())
         self.history = side["history"]
         return jax.tree_util.tree_map(jnp.array, state), int(side["epoch"])

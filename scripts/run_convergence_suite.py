@@ -2,8 +2,13 @@
 
 Each run gets a fresh process because the KdV recipe enables jax x64 at its
 L-BFGS phase switch (a process-global flag that must not leak into the f32
-recipes), and because a crashed TPU worker (see verify notes) then only
-kills one run. Appends rows to benchmark_results/convergence_r2.csv.
+recipes), and because a crashed TPU worker then only kills one run.
+
+Crash riding: each run trains with an experiment dir so the trainer writes
+periodic mid-run checkpoints; when the subprocess dies (the degraded axon
+backend kernel-faults long runs with an MTBF of ~10 min), the run is retried
+in a fresh process resuming from the last checkpoint instead of from epoch 0.
+Appends rows to benchmark_results/convergence_r2.csv.
 
     python scripts/run_convergence_suite.py --pdes burgers,kdv --seeds 0,1,2
 """
@@ -11,8 +16,11 @@ kills one run. Appends rows to benchmark_results/convergence_r2.csv.
 from __future__ import annotations
 
 import argparse
+import json
+import shutil
 import subprocess
 import sys
+import tempfile
 from pathlib import Path
 
 ROOT = Path(__file__).resolve().parent.parent
@@ -20,9 +28,12 @@ ROOT = Path(__file__).resolve().parent.parent
 _RUN_ONE = """
 import json
 from pinnrl_tpu.benchmarks.convergence import run_convergence
-r = run_convergence({pde!r}, seed={seed}, epochs={epochs})
+r = run_convergence({pde!r}, seed={seed}, epochs={epochs},
+                    experiment_dir={exp!r}, resume_from={resume!r})
 print("RESULT " + json.dumps(r.__dict__))
 """
+
+_HEALTH = [sys.executable, str(ROOT / "scripts" / "tpu_wait_healthy.py")]
 
 
 def main() -> int:
@@ -32,6 +43,8 @@ def main() -> int:
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--csv", default=str(ROOT / "benchmark_results" / "convergence_r2.csv"))
     ap.add_argument("--timeout", type=int, default=5400)
+    ap.add_argument("--retries", type=int, default=3,
+                    help="Extra attempts per run, resuming from the last checkpoint")
     args = ap.parse_args()
 
     csv = Path(args.csv)
@@ -45,21 +58,34 @@ def main() -> int:
     failures = 0
     for pde in args.pdes.split(","):
         for seed in (int(s) for s in args.seeds.split(",")):
-            code = _RUN_ONE.format(pde=pde, seed=seed, epochs=args.epochs)
             print(f"=== {pde} seed={seed} ===", flush=True)
-            proc = subprocess.run(
-                [sys.executable, "-c", code],
-                cwd=ROOT, capture_output=True, text=True, timeout=args.timeout,
-            )
-            line = next(
-                (ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT ")), None
-            )
-            if proc.returncode != 0 or line is None:
-                failures += 1
+            exp = tempfile.mkdtemp(prefix=f"conv_{pde}_s{seed}_")
+            line = None
+            for attempt in range(args.retries + 1):
+                ckpt = Path(exp) / "checkpoint.msgpack"
+                resume = str(ckpt) if (attempt and ckpt.exists()) else None
+                if attempt:
+                    print(f"--- retry {attempt} (resume={'yes' if resume else 'no'}) ---",
+                          flush=True)
+                    subprocess.run(_HEALTH, timeout=600)
+                code = _RUN_ONE.format(
+                    pde=pde, seed=seed, epochs=args.epochs, exp=exp, resume=resume
+                )
+                proc = subprocess.run(
+                    [sys.executable, "-c", code],
+                    cwd=ROOT, capture_output=True, text=True, timeout=args.timeout,
+                )
+                line = next(
+                    (ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT ")),
+                    None,
+                )
+                if proc.returncode == 0 and line is not None:
+                    break
                 print(f"FAILED rc={proc.returncode}\n{proc.stderr[-2000:]}", flush=True)
+            shutil.rmtree(exp, ignore_errors=True)
+            if line is None:
+                failures += 1
                 continue
-            import json
-
             r = json.loads(line[len("RESULT "):])
             row = (
                 f"{r['pde']},{r['architecture']},{r['epochs']},{r['rel_l2']:.6e},"
