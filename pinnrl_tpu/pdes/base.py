@@ -146,6 +146,13 @@ class PDEBase:
             return default
         raise KeyError(f"PDE parameter {name!r} not configured and no default")
 
+    def canonicalize_coeffs(self, coeffs: Dict[str, float]) -> Dict[str, float]:
+        """Map identified coefficients to their canonical representative when
+        the PDE determines a parameter only up to a symmetry (e.g.
+        Black-Scholes sigma enters the residual solely as sigma^2, so +/-
+        sigma are equally valid minimizers). Identity by default."""
+        return dict(coeffs)
+
     @property
     def true_parameters(self) -> Dict[str, float]:
         return dict(self._true_parameters)

@@ -32,6 +32,15 @@ class BlackScholesEquation(PDEBase):
     def _r(self, coeffs: Optional[Coeffs]):
         return self.coeff(coeffs, "r", default=0.05)
 
+    def canonicalize_coeffs(self, coeffs):
+        """sigma appears in the residual only as sigma^2: identification is
+        up to sign (observed: a seed converging to -0.1996 for truth 0.2).
+        The canonical volatility is the non-negative root."""
+        out = dict(coeffs)
+        if "sigma" in out:
+            out["sigma"] = abs(float(out["sigma"]))
+        return out
+
     def residual_pointwise(self, u: PointFn, z: jax.Array, coeffs: Optional[Coeffs]):
         """Reference-parity residual uses CALENDAR time
         (``V_t + 0.5 s^2 S^2 V_SS + r S V_S - r V``, reference:

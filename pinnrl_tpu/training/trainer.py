@@ -934,10 +934,10 @@ class PDETrainer:
         # Keep the public model contract f32 (an f64 polish phase leaves the
         # state in f64; _final_state retains full precision for validation).
         self.model.params = self._demote_f32(state["params"]["net"])
-        self.final_coeffs = {
+        self.final_coeffs = self.pde.canonicalize_coeffs({
             # np.mean: with an ensemble the coeffs carry a member axis.
             k: float(np.mean(np.asarray(v))) for k, v in state["params"]["coeffs"].items()
-        }
+        })
         result = {
             "history": self.history,
             "final_train_loss": self.history["train_loss"][-1]

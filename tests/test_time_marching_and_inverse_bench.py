@@ -134,3 +134,21 @@ def test_time_marching_cli_smoke(monkeypatch, capsys):
     rc = cli.main(["convergence", "--pde", "heat", "--time-marching", "2"])
     assert rc == 0
     assert "heat_tm2" in capsys.readouterr().out
+
+
+def test_black_scholes_sigma_canonical_sign():
+    """sigma enters the BS residual only as sigma^2 (identifiable up to
+    sign); canonicalize_coeffs maps the negative root to the canonical
+    non-negative volatility, other keys untouched."""
+    from pinnrl_tpu.config import load_config
+    from pinnrl_tpu.pdes import create_pde
+
+    cfg = load_config(pde_type="black_scholes", architecture="feedforward")
+    pde = create_pde(cfg)
+    out = pde.canonicalize_coeffs({"sigma": -0.1996, "r": 0.05})
+    assert out["sigma"] == 0.1996
+    assert out["r"] == 0.05
+    # base PDEs: identity
+    cfg2 = load_config(pde_type="heat", architecture="feedforward")
+    pde2 = create_pde(cfg2)
+    assert pde2.canonicalize_coeffs({"alpha": -0.01}) == {"alpha": -0.01}
