@@ -540,6 +540,17 @@ class PDEBase:
             raise ValueError("hard_ic supports scalar (output_dim == 1) PDEs only")
         t0 = float(self.time_domain[0])
         horizon = float(self.time_domain[1]) - t0
+        # Ramp timescale. The FULL horizon is a bad default for long
+        # horizons: tanh((t-t0)/T)^2 has curvature ~2/T^2 at t0, so with
+        # T = 10 the net must output O(T^2) values to supply u_tt near the
+        # initial time (measured: pendulum hard-IC train loss stuck at 1e-2,
+        # rel-L2 2.5e-2). model.arch-independent `hard_ic_timescale` (in time
+        # units) overrides; default caps at 1.
+        timescale = float(
+            getattr(self.settings, "hard_ic_timescale", None)
+            or self.parameters.get("hard_ic_timescale")
+            or min(horizon, 1.0)
+        )
         second_order = 2 in tuple(getattr(self, "temporal_orders", (1,)))
         has_exact = bool(self.settings.exact_solution)
 
@@ -548,7 +559,7 @@ class PDEBase:
             x, t = flat[:, :-1], flat[:, -1:]
             tt0 = jnp.full_like(t, t0)
             u0 = ic_fn(x, tt0)
-            tau = (t - t0) / horizon
+            tau = (t - t0) / timescale
             if second_order:
                 ramp = jnp.tanh(tau) ** 2
                 if has_exact:

@@ -65,6 +65,8 @@ def main():
             cfg.model.hidden_dims = [int(x) for x in v.split("x")]
         elif k == "hard_ic":
             cfg.model.hard_ic = v.lower() in ("1", "true")
+        elif k == "hard_ic_T":
+            cfg.pde.parameters["hard_ic_timescale"] = float(v)
         elif k == "ensemble":
             cfg.training.ensemble_size = int(v)
         elif k == "ema":
