@@ -101,10 +101,11 @@ def main(argv=None) -> int:
     p_s.set_defaults(func=_sampling_command)
 
     p_c = sub.add_parser("convergence", help="rel-L2 vs exact with tuned recipes")
+    from pinnrl_tpu.benchmarks.convergence import RECIPES as _CONV_RECIPES
+
     p_c.add_argument(
         "--pde",
-        choices=["heat", "heat_2d", "wave", "burgers", "kdv", "cahn_hilliard",
-                 "all"],
+        choices=[*_CONV_RECIPES, "all"],  # every tuned recipe, incl. pendulum etc.
         default="heat",
     )
     p_c.add_argument("--epochs", type=int, default=None, help="Override recipe epochs")
