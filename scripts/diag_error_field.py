@@ -36,11 +36,22 @@ def main() -> None:
             cfg.model.arch_params["scale"] = float(v)
         elif k == "mapping_size":
             cfg.model.arch_params["mapping_size"] = int(v)
+        elif k == "arch":
+            cfg.model.architecture = v
+            cfg.pde.architecture = v
+        elif k == "hard_ic":
+            cfg.model.hard_ic = v.lower() in ("1", "true")
+        elif k == "hard_ic_T":
+            cfg.pde.parameters["hard_ic_timescale"] = float(v)
         else:
             raise SystemExit(f"unknown key {k}")
     pde = create_pde(cfg)
     model = PINNModel(cfg, seed=0)
     model.load_state(ckpt)
+    if cfg.model.hard_ic:
+        # Saved params are the bare net; predictions need the composed
+        # transform, exactly as in training (see PDETrainer wiring).
+        model.output_transform = pde.hard_ic_transform()
     params = model.params
 
     (x_lo, x_hi) = pde.domain[0]

@@ -63,6 +63,9 @@ def main():
             ap["moving_frame_speed"] = float(v)
         elif k == "hidden":
             cfg.model.hidden_dims = [int(x) for x in v.split("x")]
+        elif k == "arch":
+            cfg.model.architecture = v
+            cfg.pde.architecture = v
         elif k == "hard_ic":
             cfg.model.hard_ic = v.lower() in ("1", "true")
         elif k == "hard_ic_T":
