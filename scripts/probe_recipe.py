@@ -80,6 +80,13 @@ def main():
             cfg.training.optimizer_config.learning_rate = float(v)
         elif k == "optimizer":
             cfg.training.optimizer = v
+        elif k == "f64":
+            if v.lower() in ("1", "true"):
+                cfg.training.residual_dtype = "float64"
+        elif k == "phase2":
+            cfg.training.phase2_optimizer = v
+        elif k == "phase2_lr":
+            cfg.training.phase2_learning_rate = float(v)
         elif k == "batch":
             cfg.training.batch_size = int(v)
         elif k == "points":
