@@ -263,6 +263,8 @@ def build_recipe_config(pde_key: str, epochs: Optional[int] = None):
     cfg.model.input_dim = cfg.pde.dimension + 1
     m = recipe["model"]
     cfg.model.hidden_dims = list(m.get("hidden_dims", cfg.model.hidden_dims))
+    if "hard_ic" in m:
+        cfg.model.hard_ic = bool(m["hard_ic"])
     for k in (
         "mapping_size", "scale", "omega_0", "hidden_dim", "num_blocks",
         "modified", "periodic", "feature_seed", "moving_frame_speed",
