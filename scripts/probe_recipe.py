@@ -80,6 +80,8 @@ def main():
             cfg.training.optimizer_config.learning_rate = float(v)
         elif k == "optimizer":
             cfg.training.optimizer = v
+        elif k == "lbfgs_bs":
+            cfg.training.lbfgs.batch_size = int(v)
         elif k == "switch":
             cfg.training.adam_lbfgs_switch_ratio = float(v)
         elif k == "f64":
