@@ -41,6 +41,17 @@ __all__ = [
 ]
 
 
+def _parse_scale(v):
+    """Fourier-feature scale: float, or per-input-dim sequence (anisotropic);
+    also accepts a colon-separated string like "0:1.0" from CLI overrides."""
+    if isinstance(v, str):
+        parts = v.split(":")
+        return tuple(float(p) for p in parts) if len(parts) > 1 else float(v)
+    if isinstance(v, (list, tuple)):
+        return tuple(float(p) for p in v)
+    return float(v)
+
+
 def create_module(model_cfg: ModelConfig):
     """Build the flax module for a ModelConfig."""
     arch = model_cfg.architecture
@@ -73,7 +84,7 @@ def create_module(model_cfg: ModelConfig):
         return FourierNetwork(
             hidden_dims=tuple(model_cfg.hidden_dims),
             mapping_size=int(ap.get("mapping_size", 512)),
-            scale=float(ap.get("scale", 4.0)),
+            scale=_parse_scale(ap.get("scale", 4.0)),
             periodic=bool(ap.get("periodic", True)),
             modified=bool(ap.get("modified", False)),
             feature_seed=(

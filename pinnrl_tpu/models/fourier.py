@@ -23,7 +23,15 @@ from pinnrl_tpu.models.base import get_activation
 
 class FourierFeatures(nn.Module):
     mapping_size: int = 512
-    scale: float = 4.0
+    # Isotropic float, or a per-input-dimension tuple (anisotropic random
+    # Fourier features, the "spatio-temporal multi-scale" form of Wang,
+    # Wang & Perdikaris 2021): row i of B is drawn N(0, scale[i]^2).
+    # scale[i] = 0 makes the embedding EXACTLY independent of coordinate i
+    # — the right basis for ODE-as-PDE problems (pendulum) whose solution
+    # is constant along the dummy spatial axis, where an isotropic basis
+    # measurably leaks spurious x-dependence near the domain edges
+    # (rel-L2 floor 1.8e-3, error concentrated at the x boundary).
+    scale: float | tuple = 4.0
     periodic: bool = True
     # When set, the random projection B is drawn from this dedicated seed
     # instead of the model init rng. The feature basis is an architecture
@@ -44,7 +52,14 @@ class FourierFeatures(nn.Module):
         in_dim = x.shape[-1]
 
         def _draw(rng):
-            return self.scale * jax.random.normal(
+            s = jnp.asarray(self.scale, jnp.float32)
+            if s.ndim == 1 and s.shape[0] != in_dim:
+                raise ValueError(
+                    f"anisotropic scale needs {in_dim} entries, got {s.shape[0]}"
+                )
+            if s.ndim == 1:
+                s = s[:, None]  # broadcast per input dimension (row of B)
+            return s * jax.random.normal(
                 jax.random.PRNGKey(self.feature_seed)
                 if self.feature_seed is not None
                 else rng,
@@ -74,7 +89,7 @@ class FourierNetwork(nn.Module):
     output_dim: int
     hidden_dims: Sequence[int] = (512,) * 4
     mapping_size: int = 512
-    scale: float = 4.0
+    scale: float | tuple = 4.0  # float or per-dim tuple, see FourierFeatures
     periodic: bool = True
     activation: str = "tanh"
     dropout: float = 0.0

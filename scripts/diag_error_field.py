@@ -33,7 +33,7 @@ def main() -> None:
         if k == "bc" and v == "exact":
             cfg.pde.boundary_conditions = {"dirichlet": {"type": "exact"}}
         elif k == "scale":
-            cfg.model.arch_params["scale"] = float(v)
+            cfg.model.arch_params["scale"] = v if ":" in v else float(v)
         elif k == "mapping_size":
             cfg.model.arch_params["mapping_size"] = int(v)
         elif k == "arch":

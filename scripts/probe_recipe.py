@@ -50,7 +50,8 @@ def main():
     for k, v in kv.items():
         label.append(f"{k}={v}")
         if k == "scale":
-            ap["scale"] = float(v)
+            # colon-separated = anisotropic per-dim scales, e.g. scale=0:1.0
+            ap["scale"] = v if ":" in v else float(v)
         elif k == "mapping_size":
             ap["mapping_size"] = int(v)
         elif k == "modified":

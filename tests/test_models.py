@@ -215,3 +215,37 @@ def test_fourier_trainable_features():
         np.asarray(m.params["FourierFeatures_0"]["B"]),
         np.asarray(build(1).params["FourierFeatures_0"]["B"]),
     )
+
+
+def test_fourier_anisotropic_scale():
+    """arch_params.scale accepts a per-input-dim spec (list or "a:b" string);
+    a zero entry makes the network exactly independent of that coordinate."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from pinnrl_tpu.config import load_config
+    from pinnrl_tpu.models import _parse_scale
+    from pinnrl_tpu.models.fourier import FourierNetwork
+
+    assert _parse_scale("0:1.5") == (0.0, 1.5)
+    assert _parse_scale("2.5") == 2.5
+    assert _parse_scale([1, 2]) == (1.0, 2.0)
+
+    cfg = load_config(pde_type="pendulum", architecture="fourier")
+    cfg.model.hidden_dims = [16, 16]
+    cfg.model.arch_params.update(mapping_size=8, scale="0:1.0")
+    m = PINNModel(cfg, seed=0)
+    t = jnp.full((3, 1), 0.4)
+    x_a = jnp.array([[0.1], [1.7], [3.0]])
+    out = m.apply(m.params, jnp.concatenate([x_a, t], axis=-1))
+    np.testing.assert_allclose(
+        np.asarray(out), np.full_like(np.asarray(out), float(out[0, 0])), atol=1e-6
+    )  # identical output at every x: the basis has no x frequencies
+
+    with pytest.raises(ValueError, match="anisotropic"):
+        bad = FourierNetwork(
+            input_dim=2, output_dim=1, hidden_dims=(8,), mapping_size=4,
+            scale=(1.0, 1.0, 1.0),
+        )
+        bad.init(jax.random.PRNGKey(0), jnp.zeros((2, 2)))
