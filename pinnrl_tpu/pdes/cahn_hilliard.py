@@ -30,8 +30,42 @@ class CahnHilliardEquation(PDEBase):
     # bundle cannot serve (see PDEBase.bundle_compatible).
     bundle_compatible = False
 
+    def __init__(self, settings, training=None):
+        super().__init__(settings, training)
+        # parameters.formulation = "mixed" switches to the classical mixed
+        # (u, mu) weak form: a 2-channel head where channel 1 learns the
+        # chemical potential directly, tied by the compatibility residual
+        # mu = u^3 - u - eps^2 lap(u). The biharmonic never appears — both
+        # residuals need only SECOND-order jets of the network, trading a
+        # 2-wide output head for a far better-conditioned loss (same trade
+        # as KdV's first_order formulation; cf. FO-PINNs, arXiv:2210.14320,
+        # and the standard mixed FEM splitting of Cahn-Hilliard).
+        if str(self.parameters.get("formulation", "direct")) == "mixed":
+            self.system_size = 2
+            self.spatial_orders = (2,)
+
     def _eps(self, coeffs: Optional[Coeffs]):
         return self.coeff(coeffs, "epsilon", default=0.1)
+
+    def residual_pointwise_system(self, uvec, z: jax.Array, coeffs: Optional[Coeffs]):
+        """Mixed-form residual vector over the 2-channel head (u, mu):
+
+            r1 = u_t - lap(mu)                      (dynamics)
+            r2 = mu - (u^3 - u - eps^2 lap(u))      (compatibility)
+
+        One second-order jet per spatial axis serves BOTH channels (jvp of
+        the vector restriction), plus one first-order time jvp."""
+        eps = self._eps(coeffs)
+        vals = uvec(z)
+        u_val, mu_val = vals[0], vals[1]
+        lap = jnp.zeros_like(vals)
+        for ax in range(self.dimension):
+            lap = lap + directional_derivative(uvec, z, ax, 2)[1]
+        u_t = directional_derivative(uvec, z, self.dimension, 1)[0][0]
+        u_c = jnp.clip(u_val, -10.0, 10.0)
+        r1 = u_t - lap[1]
+        r2 = mu_val - (u_c**3 - u_c - eps**2 * lap[0])
+        return jnp.stack([r1, r2])
 
     def residual_pointwise(self, u: PointFn, z: jax.Array, coeffs: Optional[Coeffs]):
         u_t = directional_derivative(u, z, self.dimension, 1)[0]

@@ -109,6 +109,9 @@ def main():
             if v == "first_order":
                 cfg.model.output_dim = 3
                 cfg.pde.output_dim = 3
+            elif v == "mixed":
+                cfg.model.output_dim = 2
+                cfg.pde.output_dim = 2
         elif k == "bc":
             if v == "exact":
                 cfg.pde.boundary_conditions = {"dirichlet": {"type": "exact"}}

@@ -118,3 +118,114 @@ def test_first_order_requires_1d():
     cfg.pde.input_dim = 3
     with pytest.raises(ValueError, match="dimension=1"):
         create_pde(cfg)
+
+
+# --------------------------------------------------------------------- #
+# Cahn-Hilliard mixed (u, mu) formulation
+# --------------------------------------------------------------------- #
+
+
+def _ch_cfg(mixed: bool, dimension: int = 2):
+    cfg = load_config(pde_type="cahn_hilliard", architecture="fourier")
+    cfg.model.hidden_dims = [16, 16]
+    cfg.model.arch_params["mapping_size"] = 8
+    if dimension == 2:
+        cfg.pde.dimension = 2
+        cfg.pde.domain = [[-0.5, 0.5], [-0.5, 0.5]]
+        cfg.model.input_dim = 3
+        cfg.pde.input_dim = 3
+    if mixed:
+        cfg.pde.parameters["formulation"] = "mixed"
+        cfg.model.output_dim = 2
+        cfg.pde.output_dim = 2
+    return cfg
+
+
+def _interface_pair(eps=0.1):
+    """Analytic (u, mu) of the stationary interface as a fake 2-channel net.
+
+    u = tanh(x0 / (sqrt(2) eps)) makes mu = u^3 - u - eps^2 lap(u) vanish
+    identically, so the exact chemical-potential channel is zero."""
+    a = jnp.sqrt(2.0) * eps
+
+    def apply_fn(params, z):
+        z = jnp.reshape(z, (-1,))
+        return jnp.stack([jnp.tanh(z[0] / a), jnp.zeros(())])
+
+    return apply_fn
+
+
+def test_ch_mixed_system_size_flag():
+    assert create_pde(_ch_cfg(True)).system_size == 2
+    assert create_pde(_ch_cfg(False)).system_size == 1
+
+
+def test_ch_interface_zeroes_mixed_residual():
+    pde = create_pde(_ch_cfg(True))
+    apply_fn = _interface_pair()
+    x = jnp.stack(
+        [jnp.linspace(-0.4, 0.4, 9), jnp.linspace(0.3, -0.3, 9)], axis=-1
+    )
+    t = jnp.full((9, 1), 0.5)
+    r = pde.compute_residual(apply_fn, None, x, t)
+    assert r.shape == (9, 2)
+    assert float(jnp.max(jnp.abs(r))) < 5e-4
+
+
+def test_ch_mixed_compatibility_catches_wrong_mu():
+    pde = create_pde(_ch_cfg(True))
+
+    def bad_apply(params, z):
+        z = jnp.reshape(z, (-1,))
+        return jnp.stack([jnp.tanh(z[0] / (jnp.sqrt(2.0) * 0.1)), jnp.ones(()) * 0.5])
+
+    x = jnp.zeros((4, 2))
+    t = jnp.zeros((4, 1))
+    r = pde.compute_residual(bad_apply, None, x, t)
+    assert float(jnp.min(jnp.abs(r[:, 1]))) > 0.4  # r2 = mu - mu(u) detects it
+
+
+def test_ch_mixed_matches_direct_on_smooth_field():
+    """r1 of the mixed form with the CONSISTENT mu channel equals the direct
+    4th-order residual (up to f32 jet noise) for a smooth analytic field."""
+    eps = 0.1
+
+    def u_scalar(z):
+        return jnp.sin(z[0]) * jnp.cos(z[1]) * jnp.exp(-z[2])
+
+    def mu_scalar(z):
+        lap_u = -2.0 * u_scalar(z)  # lap of sin(x)cos(y) factor
+        u = u_scalar(z)
+        return u**3 - u - eps**2 * lap_u
+
+    def apply_vec(params, z):
+        z = jnp.reshape(z, (-1,))
+        return jnp.stack([u_scalar(z), mu_scalar(z)])
+
+    def apply_dir(params, z):
+        z = jnp.reshape(z, (-1,))
+        return jnp.reshape(u_scalar(z), (1,))
+
+    x = jnp.stack([jnp.linspace(-0.4, 0.4, 7), jnp.linspace(0.2, -0.2, 7)], axis=-1)
+    t = jnp.full((7, 1), 0.3)
+    r_mixed = create_pde(_ch_cfg(True)).compute_residual(apply_vec, None, x, t)
+    r_dir = create_pde(_ch_cfg(False)).compute_residual(apply_dir, None, x, t)
+    assert jnp.allclose(r_mixed[:, 0:1], r_dir, atol=2e-3)
+    assert float(jnp.max(jnp.abs(r_mixed[:, 1]))) < 2e-3
+
+
+def test_ch_mixed_loss_trains_jittable():
+    cfg = _ch_cfg(True)
+    pde = create_pde(cfg)
+    model = PINNModel(cfg, seed=0)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (32, 2), minval=-0.5, maxval=0.5)
+    t = jnp.full((32, 1), 0.5)
+
+    @jax.jit
+    def loss(params):
+        return pde.compute_loss(model.apply, params, x, t, key=jax.random.PRNGKey(0))["total"]
+
+    val = loss(model.params)
+    assert jnp.isfinite(val)
+    g = jax.grad(lambda p: loss(p))(model.params)
+    assert all(jnp.all(jnp.isfinite(leaf)) for leaf in jax.tree_util.tree_leaves(g))
