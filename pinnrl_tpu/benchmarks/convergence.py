@@ -236,12 +236,21 @@ RECIPES: Dict[str, dict] = {
         # pdes/cahn_hilliard.py) — the only closed-form CH solution; the
         # reference's tanh(x/(2 eps)) "exact" has O(1) residual and its CH
         # coverage is tests-only (reference: tests/unit_tests/test_pde_base.py).
+        # Shipping formulation = the mixed (u, mu) splitting
+        # (pdes/cahn_hilliard.py:residual_pointwise_system): a 2-channel
+        # head tied by mu = u^3 - u - eps^2 lap(u), so both residuals need
+        # only SECOND-order jets. The direct 4th-order path stalls at
+        # rel-L2 ~0.8 under the same budget (probe_matrix.csv
+        # cahn_hilliard|ep100|s0); the mixed form reaches 9.1e-4 in 300
+        # epochs (…|ep300|s0|formulation=mixed). Same trade as the standard
+        # mixed FEM splitting of CH and FO-PINNs (arXiv:2210.14320).
         arch="attention",
-        model=dict(hidden_dims=[128, 128, 128, 128]),
+        model=dict(hidden_dims=[128, 128, 128, 128], output_dim=2),
         pde=dict(
             dimension=2,
             domain=[[-0.5, 0.5], [-0.5, 0.5]],
             time_domain=[0.0, 1.0],
+            parameters={"formulation": "mixed"},
             exact_solution={"type": "stationary_interface"},
             initial_condition={"type": "stationary_interface"},
         ),
@@ -271,6 +280,11 @@ def build_recipe_config(pde_key: str, epochs: Optional[int] = None):
     cfg.model.hidden_dims = list(m.get("hidden_dims", cfg.model.hidden_dims))
     if "hard_ic" in m:
         cfg.model.hard_ic = bool(m["hard_ic"])
+    if "output_dim" in m:
+        # Multi-channel heads (e.g. Cahn-Hilliard's mixed (u, mu) system)
+        # must be visible to both the network and the PDE's residual/metric.
+        cfg.model.output_dim = int(m["output_dim"])
+        cfg.pde.output_dim = int(m["output_dim"])
     for k in (
         "mapping_size", "scale", "omega_0", "hidden_dim", "num_blocks",
         "modified", "periodic", "feature_seed", "moving_frame_speed",
