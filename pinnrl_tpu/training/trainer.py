@@ -1097,7 +1097,11 @@ class PDETrainer:
                 "num_epochs": num_epochs,
                 "current_epoch": current_epoch,
                 "parameters": {
-                    k: (list(v) if isinstance(v, (list, tuple)) else float(v))
+                    k: (
+                        list(v)
+                        if isinstance(v, (list, tuple))
+                        else v if isinstance(v, (str, bool)) else float(v)
+                    )
                     for k, v in self.pde.parameters.items()
                 },
                 "trainable_parameters": self.pde.trainable_parameters,

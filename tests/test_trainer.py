@@ -54,6 +54,21 @@ def test_experiment_dir_protocol(tmp_path):
     assert res["status"] == "completed"
 
 
+def test_metadata_serializes_string_parameters(tmp_path):
+    # Regression: parameters like cahn_hilliard's formulation="mixed" are
+    # strings; metadata writing must not force-float them.
+    cfg = tiny_config()
+    trainer = make_trainer(cfg)
+    trainer.pde.parameters["formulation"] = "mixed"
+    trainer.pde.parameters["flag"] = True
+    res = trainer.train(experiment_dir=str(tmp_path / "exp"))
+    assert res["status"] == "completed"
+    meta = json.loads((tmp_path / "exp" / "metadata.json").read_text())
+    assert meta["parameters"]["formulation"] == "mixed"
+    assert meta["parameters"]["flag"] is True
+    assert isinstance(meta["parameters"]["alpha"], float)
+
+
 @pytest.mark.parametrize("optimizer", ["adam", "lbfgs", "adam_lbfgs"])
 def test_optimizers(optimizer):
     cfg = tiny_config(optimizer=optimizer, num_epochs=4)
