@@ -31,12 +31,12 @@ def main() -> int:
             latest[(row["pde"], row["seed"])] = row  # last write wins
 
     kept: list[dict] = []
-    refreshed_pdes = {p for p, _ in latest}
     if OUT.exists():
         with OUT.open() as f:
             for row in csv.DictReader(f):
-                if row["pde"] not in refreshed_pdes:
-                    kept.append(row)
+                seed = row["hardware"].rsplit("seed", 1)[-1]
+                if (row["pde"], seed) not in latest:
+                    kept.append(row)  # keep (pde, seed) rows the log lacks
 
     for (pde, seed), r in sorted(latest.items()):
         kept.append(
@@ -61,7 +61,7 @@ def main() -> int:
         )
         w.writeheader()
         w.writerows(kept)
-    print(f"wrote {OUT} ({len(kept)} rows; refreshed {sorted(refreshed_pdes)})")
+    print(f"wrote {OUT} ({len(kept)} rows; refreshed {sorted({p for p, _ in latest})})")
     return 0
 
 
