@@ -60,17 +60,20 @@ def _sampling_command(args) -> int:
         batch=args.batch,
         lr=args.lr,
         seed=args.seed,
+        arch=args.arch,
     )
     rows = [
         (
-            r.pde, r.strategy, f"{r.final_loss:.3e}", f"{r.l2_error:.3e}",
-            f"{r.rel_l2:.3e}", f"{r.wall_time_s:.2f}", f"{r.points_per_sec:.0f}",
+            r.pde, r.architecture, r.strategy, f"{r.final_loss:.3e}",
+            f"{r.l2_error:.3e}", f"{r.rel_l2:.3e}", f"{r.wall_time_s:.2f}",
+            f"{r.points_per_sec:.0f}",
         )
         for r in results
     ]
     _print_table(
         rows,
-        ["pde", "strategy", "final_loss", "l2_error", "rel_l2", "wall_s", "pts/sec"],
+        ["pde", "arch", "strategy", "final_loss", "l2_error", "rel_l2",
+         "wall_s", "pts/sec"],
     )
     if args.csv:
         _write_csv(args.csv, results_to_csv(results))
@@ -97,6 +100,8 @@ def main(argv=None) -> int:
     p_s.add_argument("--batch", type=int, default=1024)
     p_s.add_argument("--lr", type=float, default=2e-3)
     p_s.add_argument("--seed", type=int, default=0)
+    p_s.add_argument("--arch", default="fourier",
+                     help="Model architecture for every strategy (e.g. fourier, resnet)")
     p_s.add_argument("--csv", default=None)
     p_s.set_defaults(func=_sampling_command)
 
@@ -122,7 +127,7 @@ def main(argv=None) -> int:
                      help="Well registry entry (synthetic_heat_2d works offline)")
     p_o.add_argument("--arch", default=None, help="Override registry architecture")
     p_o.add_argument("--epochs", type=int, default=2000)
-    p_o.add_argument("--traj", type=int, default=2)
+    p_o.add_argument("--traj", type=int, default=1)
     p_o.add_argument("--points", type=int, default=8192)
     p_o.add_argument("--seed", type=int, default=0)
     p_o.add_argument("--csv", default=None)

@@ -34,6 +34,7 @@ class SamplingResult:
     """One benchmark row (reference: sampling.py:42-64)."""
 
     pde: str
+    architecture: str
     strategy: str
     final_loss: float
     l2_error: float
@@ -64,8 +65,9 @@ def _evaluate(pde, model, params, x_grid, t_grid) -> Dict[str, float]:
     return {"l2": l2, "rel_l2": rel}
 
 
-def _build_benchmark_model(pde_key: str, seed: int):
-    """Fresh Fourier MLP 64x3 with mapping size 32 (reference: sampling.py:105-119).
+def _build_benchmark_model(pde_key: str, seed: int, arch: str = "fourier"):
+    """Fresh small net (64x3; Fourier gets mapping size 32) per strategy
+    (reference: sampling.py:105-119).
 
     PDE posing follows the convergence recipes (e.g. Burgers gets the genuine
     traveling-wave exact solution with a steep moving front — the regime
@@ -73,15 +75,16 @@ def _build_benchmark_model(pde_key: str, seed: int):
     """
     from pinnrl_tpu.benchmarks.convergence import RECIPES
 
-    cfg = load_config(pde_type=pde_key, architecture="fourier")
+    cfg = load_config(pde_type=pde_key, architecture=arch)
     for k, v in (RECIPES.get(pde_key, {}).get("pde") or {}).items():
         if k == "parameters":
             cfg.pde.parameters.update(v)
         else:
             setattr(cfg.pde, k, v)
     cfg.model.hidden_dims = [64, 64, 64]
-    cfg.model.arch_params["mapping_size"] = 32
-    cfg.model.arch_params["scale"] = 2.0
+    if arch == "fourier":
+        cfg.model.arch_params["mapping_size"] = 32
+        cfg.model.arch_params["scale"] = 2.0
     return cfg, PINNModel(cfg, seed=seed)
 
 
@@ -98,8 +101,9 @@ def _train_one(
     batch: int,
     lr: float,
     seed: int,
+    arch: str = "fourier",
 ) -> SamplingResult:
-    cfg, model = _build_benchmark_model(pde_key, seed)
+    cfg, model = _build_benchmark_model(pde_key, seed, arch=arch)
     cfg.training.collocation_distribution = strategy
     pde = create_pde(cfg)  # fresh PDE per strategy
     pde.attach_fast_bundle(model)  # stacked-jet residual path (trainer default)
@@ -193,6 +197,7 @@ def _train_one(
     ev = _evaluate(pde, model, params, x_grid, t_grid)
     return SamplingResult(
         pde=pde_key,
+        architecture=arch,
         strategy=strategy,
         final_loss=loss,
         l2_error=ev["l2"],
@@ -211,6 +216,7 @@ def run_sampling_benchmark(
     batch: int = 1024,
     lr: float = 2e-3,
     seed: int = 0,
+    arch: str = "fourier",
 ) -> List[SamplingResult]:
     """Benchmark every requested strategy (reference: sampling.py:219-289)."""
     if pde not in PDE_CHOICES:
@@ -219,14 +225,17 @@ def run_sampling_benchmark(
     for s in strategies:
         if s not in STRATEGIES:
             raise ValueError(f"Unknown strategy {s!r}; valid: {STRATEGIES}")
-    return [_train_one(pde, s, epochs, batch, lr, seed) for s in strategies]
+    return [_train_one(pde, s, epochs, batch, lr, seed, arch=arch) for s in strategies]
 
 
 def results_to_csv(results: List[SamplingResult]) -> str:
-    header = "pde,strategy,final_loss,l2_error,rel_l2,wall_time_s,points_per_sec,epochs,seed"
+    header = (
+        "pde,architecture,strategy,final_loss,l2_error,rel_l2,"
+        "wall_time_s,points_per_sec,epochs,seed"
+    )
     rows = [
-        f"{r.pde},{r.strategy},{r.final_loss:.6e},{r.l2_error:.6e},{r.rel_l2:.6e},"
-        f"{r.wall_time_s:.3f},{r.points_per_sec:.1f},{r.epochs},{r.seed}"
+        f"{r.pde},{r.architecture},{r.strategy},{r.final_loss:.6e},{r.l2_error:.6e},"
+        f"{r.rel_l2:.6e},{r.wall_time_s:.3f},{r.points_per_sec:.1f},{r.epochs},{r.seed}"
         for r in results
     ]
     return "\n".join([header] + rows) + "\n"

@@ -76,9 +76,19 @@ def ensure_synthetic_well_cache(
     """Write the trajectory into the loader's cache (same key, same layout)
     so ``load_well_slice`` serves it without ``the_well`` installed.
 
-    The 'test' split uses shifted trajectory indices, so train/test contain
-    DIFFERENT mode superpositions — held-out evaluation measures operator
-    generalization, not just interpolation.
+    Split semantics: 'train' and 'test' sample the SAME trajectories at
+    DISJOINT grid points (one permutation, first ``n_points`` vs the next
+    ``n_points``). Held-out error therefore measures reconstruction of the
+    continuous field from scattered samples — the task a point-wise model
+    u(x, t) can actually perform. (Different-trajectory splits would be
+    ill-posed here: two solution fields disagree at equal coordinates, so no
+    function of coordinates fits both; cross-trajectory generalization needs
+    input-function conditioning, which the reference's point-wise FNO —
+    reference: pinnrl/models/pinn_model.py FNO1d — does not have.)
+
+    For the same reason, multi-trajectory point clouds overlay conflicting
+    targets at equal coordinates; callers fitting point-wise models should
+    use ``n_traj=1`` (the operator benchmark's default).
     """
     if not name.startswith("synthetic"):
         raise ValueError("refusing to fabricate cache for a real Well dataset")
@@ -87,27 +97,19 @@ def ensure_synthetic_well_cache(
     if cache.exists() and not overwrite:
         return cache
 
-    # Test trajectories start AFTER every train index so the splits are
-    # disjoint for any n_traj (content is periodic in the index with period
-    # lcm(len(MODE_SETS), 3) = 12, so disjoint indices below 12 guarantee
-    # distinct mode superpositions — no train->test leakage).
-    offset = 0 if split == "train" else n_traj
-    if split != "train" and 2 * n_traj > 12:
-        raise ValueError(
-            "synthetic train/test splits are only distinct for n_traj <= 6 "
-            f"(got {n_traj}); raise MODE_SETS variety to go higher"
-        )
     clouds = [
-        _flatten_trajectory(generate_heat_2d_trajectory(i + offset), entry)
+        _flatten_trajectory(generate_heat_2d_trajectory(i), entry)
         for i in range(n_traj)
     ]
     x = np.concatenate([c["x"] for c in clouds], axis=0)
     t = np.concatenate([c["t"] for c in clouds], axis=0)
     u = np.concatenate([c["u"] for c in clouds], axis=0)
-    if n_points and n_points < x.shape[0]:
-        rng = np.random.default_rng(seed)
-        idx = rng.choice(x.shape[0], size=n_points, replace=False)
-        x, t, u = x[idx], t[idx], u[idx]
+    total = x.shape[0]
+    n = min(n_points, total // 2) if n_points else total // 2
+    # One seed-keyed permutation shared by both splits -> disjoint subsets.
+    perm = np.random.default_rng(seed).permutation(total)
+    idx = perm[:n] if split == "train" else perm[n : 2 * n]
+    x, t, u = x[idx], t[idx], u[idx]
     cache.parent.mkdir(parents=True, exist_ok=True)
     np.savez(cache, x=x, t=t, u=u)
     return cache

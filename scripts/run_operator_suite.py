@@ -35,7 +35,7 @@ def main() -> int:
     ap.add_argument("--dataset", default="synthetic_heat_2d")
     ap.add_argument("--seeds", default="0,1,2")
     ap.add_argument("--epochs", type=int, default=2000)
-    ap.add_argument("--n-traj", type=int, default=2)
+    ap.add_argument("--n-traj", type=int, default=1)
     ap.add_argument("--n-points", type=int, default=8192)
     ap.add_argument("--csv", default=str(ROOT / "benchmark_results" / "operator_r2.csv"))
     ap.add_argument("--timeout", type=int, default=5400)

@@ -26,7 +26,7 @@ _RUN_ONE = """
 import json
 from pinnrl_tpu.benchmarks.sampling import run_sampling_benchmark
 rs = run_sampling_benchmark(pde={pde!r}, epochs={epochs}, batch={batch},
-                            lr={lr}, seed={seed})
+                            lr={lr}, seed={seed}, arch={arch!r})
 for r in rs:
     print("RESULT " + json.dumps(r.__dict__))
 """
@@ -35,6 +35,7 @@ for r in rs:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pde", default="burgers")
+    ap.add_argument("--arch", default="fourier")
     ap.add_argument("--seeds", default="0,1,2")
     ap.add_argument("--epochs", type=int, default=2500)
     ap.add_argument("--batch", type=int, default=2048)
@@ -47,15 +48,15 @@ def main() -> int:
     if not csv.exists():
         csv.parent.mkdir(exist_ok=True)
         csv.write_text(
-            "pde,strategy,final_loss,l2_error,rel_l2,wall_time_s,"
-            "points_per_sec,epochs,seed\n"
+            "pde,architecture,strategy,final_loss,l2_error,rel_l2,"
+            "wall_time_s,points_per_sec,epochs,seed\n"
         )
 
     failures = 0
     for seed in (int(s) for s in args.seeds.split(",")):
         code = _RUN_ONE.format(
             pde=args.pde, epochs=args.epochs, batch=args.batch,
-            lr=args.lr, seed=seed,
+            lr=args.lr, seed=seed, arch=args.arch,
         )
         print(f"=== {args.pde} seed={seed} ===", flush=True)
         proc = subprocess.run(
@@ -72,9 +73,10 @@ def main() -> int:
         for line in lines:
             r = json.loads(line[len("RESULT "):])
             row = (
-                f"{r['pde']},{r['strategy']},{r['final_loss']:.6e},"
-                f"{r['l2_error']:.6e},{r['rel_l2']:.6e},{r['wall_time_s']:.3f},"
-                f"{r['points_per_sec']:.1f},{r['epochs']},{r['seed']}\n"
+                f"{r['pde']},{r['architecture']},{r['strategy']},"
+                f"{r['final_loss']:.6e},{r['l2_error']:.6e},{r['rel_l2']:.6e},"
+                f"{r['wall_time_s']:.3f},{r['points_per_sec']:.1f},"
+                f"{r['epochs']},{r['seed']}\n"
             )
             with open(csv, "a") as f:
                 f.write(row)

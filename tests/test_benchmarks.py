@@ -62,10 +62,11 @@ def test_csv_schema(bench_results):
     csv = results_to_csv(bench_results)
     lines = csv.strip().split("\n")
     assert lines[0] == (
-        "pde,strategy,final_loss,l2_error,rel_l2,wall_time_s,points_per_sec,epochs,seed"
+        "pde,architecture,strategy,final_loss,l2_error,rel_l2,"
+        "wall_time_s,points_per_sec,epochs,seed"
     )
     assert len(lines) == 3
-    assert lines[1].startswith("heat,uniform,")
+    assert lines[1].startswith("heat,fourier,uniform,")
 
 
 def test_invalid_pde_and_strategy():

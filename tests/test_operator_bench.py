@@ -115,6 +115,17 @@ def test_splits_are_disjoint_trajectories_for_multi_traj():
             assert not np.allclose(te, tr)
 
 
-def test_split_rejects_oversized_n_traj():
-    with pytest.raises(ValueError, match="n_traj"):
-        ensure_synthetic_well_cache(split="test", n_traj=7, n_points=64, seed=0)
+def test_splits_are_disjoint_points_of_same_field():
+    """Train/test = disjoint point subsets of the SAME field (a point-wise
+    model has no input-function conditioning, so cross-trajectory splits
+    would be ill-posed — see datasets/synthetic.py)."""
+    ensure_synthetic_well_cache(split="train", n_traj=1, n_points=200, seed=4)
+    ensure_synthetic_well_cache(split="test", n_traj=1, n_points=200, seed=4)
+    tr = load_well_slice("synthetic_heat_2d", split="train", n_traj=1,
+                         n_points=200, seed=4)
+    te = load_well_slice("synthetic_heat_2d", split="test", n_traj=1,
+                         n_points=200, seed=4)
+    tr_keys = {tuple(np.r_[x, t]) for x, t in zip(tr["x"], tr["t"])}
+    te_keys = {tuple(np.r_[x, t]) for x, t in zip(te["x"], te["t"])}
+    assert len(tr_keys & te_keys) == 0
+    assert len(tr_keys) == len(te_keys) == 200
