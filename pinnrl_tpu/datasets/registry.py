@@ -95,7 +95,8 @@ _ROWS = [
     ),
     (
         "euler_multi_quadrants_periodicBC",
-        "2D compressible Euler with multi-quadrant Riemann ICs (periodic).",
+        "Gas dynamics: four-quadrant Riemann problems for the compressible "
+        "Euler equations on a periodic 2D box.",
         2, ("density", "pressure", "velocity_x", "velocity_y"),
         _U2, None, "fno", "data_only",
     ),
@@ -118,7 +119,8 @@ _ROWS = [
     ),
     (
         "planetswe",
-        "2D shallow-water equations on a sphere (planetary scale).",
+        "Rotating shallow-water flow over a full planetary sphere "
+        "(lon/lat grid, global circulation scales).",
         2, ("height", "velocity_lon", "velocity_lat"),
         ((0.0, 360.0), (-90.0, 90.0)), None, "fno", "data_only",
     ),

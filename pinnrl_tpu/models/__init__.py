@@ -231,7 +231,13 @@ class PINNModel:
         return count_parameters(self.params)
 
     def save_state(self, path: str) -> None:
-        save_state(path, {"params": self.params, **self.constants}, config=None)
+        from pinnrl_tpu.config import _asdict
+
+        save_state(
+            path,
+            {"params": self.params, **self.constants},
+            config=_asdict(self.config),
+        )
 
     def load_state(self, path: str) -> None:
         template = {"params": self.params, **self.constants}
