@@ -229,6 +229,32 @@ RECIPES: Dict[str, dict] = {
             learning_rate=2e-3, weight_decay=0.0,
         ),
     ),
+    "pendulum_nonlinear": dict(
+        # VERDICT round-2 item 3: benchmark the DEFAULT nonlinear residual
+        # theta_tt + (g/L) sin(theta) = 0 (no `linearized` shortcut) against
+        # the exact Jacobi-elliptic solution theta = 2 arcsin(k cd(omega t))
+        # at amplitude 0.5 rad (ops/special.py, validated to 2e-11 against
+        # scipy ellipj + an rtol=1e-11 ODE integration). Same anisotropic
+        # (0, 1)-scale basis as the linearized recipe — the solution is
+        # x-independent.
+        pde_type="pendulum",
+        arch="fourier",
+        model=dict(
+            hidden_dims=[256, 256, 256], mapping_size=128, scale=(0.0, 1.0)
+        ),
+        pde=dict(
+            parameters={"g": 9.81, "L": 1.0},
+            exact_solution={"type": "elliptic", "initial_angle": 0.5},
+            initial_condition={"type": "small_angle", "initial_angle": 0.5},
+            boundary_conditions={"dirichlet": {"type": "exact"}},
+        ),
+        training=dict(
+            num_epochs=1500, num_collocation_points=40000, batch_size=8192,
+            num_boundary_points=4096, num_initial_points=4096,
+            optimizer="adam_lbfgs", adam_lbfgs_switch_ratio=0.5,
+            learning_rate=2e-3, weight_decay=0.0,
+        ),
+    ),
     "cahn_hilliard": dict(
         # BASELINE.json headline config #4: "Cahn-Hilliard 2D phase field,
         # self-attention PINN (4th-order residual AD)". Target = the genuine
@@ -267,7 +293,12 @@ def build_recipe_config(pde_key: str, epochs: Optional[int] = None):
     """Materialize a RECIPES entry into a Config (shared by the plain and
     time-marching harnesses)."""
     recipe = RECIPES[pde_key]
-    cfg = load_config(pde_type=pde_key, architecture=recipe["arch"])
+    # A recipe key may be a named variant of a base PDE (e.g.
+    # "pendulum_nonlinear" benchmarks the same PendulumEquation under its
+    # true nonlinear residual); `pde_type` points at the config block.
+    cfg = load_config(
+        pde_type=recipe.get("pde_type", pde_key), architecture=recipe["arch"]
+    )
     for k, v in (recipe.get("pde") or {}).items():
         if k == "parameters":
             cfg.pde.parameters.update(v)

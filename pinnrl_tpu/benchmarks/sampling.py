@@ -102,6 +102,7 @@ def _train_one(
     lr: float,
     seed: int,
     arch: str = "fourier",
+    rar: Optional[Dict[str, float]] = None,
 ) -> SamplingResult:
     cfg, model = _build_benchmark_model(pde_key, seed, arch=arch)
     cfg.training.collocation_distribution = strategy
@@ -130,7 +131,9 @@ def _train_one(
     def sample(key, p, rl_st):
         if strategy == "residual_based":
             rfn = lambda xx, tt: pde.residual_score(model.apply, p, xx, tt)
-            return pde.generate_collocation_points(key, batch, strategy, residual_fn=rfn)
+            return pde.generate_collocation_points(
+                key, batch, strategy, residual_fn=rfn, **(rar or {})
+            )
         if strategy == "adaptive":
             k1, k2 = jax.random.split(key)
             sfn = lambda grid: agent.select_action(rl_st, grid, k1)
@@ -217,15 +220,23 @@ def run_sampling_benchmark(
     lr: float = 2e-3,
     seed: int = 0,
     arch: str = "fourier",
+    rar: Optional[Dict[str, float]] = None,
 ) -> List[SamplingResult]:
-    """Benchmark every requested strategy (reference: sampling.py:219-289)."""
+    """Benchmark every requested strategy (reference: sampling.py:219-289).
+
+    ``rar`` optionally overrides the RAD hyper-parameters for the
+    residual_based strategy (keys: pool_factor / uniform_floor / power).
+    """
     if pde not in PDE_CHOICES:
         raise ValueError(f"pde must be one of {PDE_CHOICES}, got {pde!r}")
     strategies = list(strategies or STRATEGIES)
     for s in strategies:
         if s not in STRATEGIES:
             raise ValueError(f"Unknown strategy {s!r}; valid: {STRATEGIES}")
-    return [_train_one(pde, s, epochs, batch, lr, seed, arch=arch) for s in strategies]
+    return [
+        _train_one(pde, s, epochs, batch, lr, seed, arch=arch, rar=rar)
+        for s in strategies
+    ]
 
 
 def results_to_csv(results: List[SamplingResult]) -> str:

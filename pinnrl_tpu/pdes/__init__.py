@@ -33,4 +33,10 @@ PDE_REGISTRY = {
 
 def create_pde(config: Config) -> PDEBase:
     """Build the PDE problem from a full Config."""
+    mode = getattr(config.training, "mode", "forward")
+    if mode == "inverse" and not getattr(config.pde, "trainable_parameters", None):
+        raise ValueError(
+            "inverse mode requires pde.trainable_parameters (use --identify "
+            "or set pde.trainable_parameters in the config)"
+        )
     return PDEBase.create(config.pde_type, config.pde, config.training)

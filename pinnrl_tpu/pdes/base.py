@@ -453,15 +453,25 @@ class PDEBase:
         strategy: str = "uniform",
         residual_fn: Optional[Callable] = None,
         score_fn: Optional[Callable] = None,
+        **kwargs,
     ) -> Tuple[jax.Array, jax.Array]:
-        """Strategy dispatcher (reference: pde_base.py:937-1084)."""
+        """Strategy dispatcher (reference: pde_base.py:937-1084).
+
+        Extra ``kwargs`` are forwarded to the strategy (RAR accepts
+        ``pool_factor`` / ``uniform_floor`` / ``power`` — the RAD
+        hyper-parameters)."""
         if strategy == "uniform":
             return sample_uniform(key, num_points, self.domain, self.time_domain)
         if strategy == "stratified":
             return sample_stratified(key, num_points, self.domain, self.time_domain)
         if strategy == "residual_based":
             return sample_residual_based(
-                key, num_points, self.domain, self.time_domain, residual_fn=residual_fn
+                key,
+                num_points,
+                self.domain,
+                self.time_domain,
+                residual_fn=residual_fn,
+                **kwargs,
             )
         if strategy == "adaptive":
             return sample_adaptive(

@@ -56,6 +56,18 @@ class PendulumEquation(PDEBase):
             A = float(spec.get("amplitude", 1.0))
             f = float(spec.get("frequency", 1.0))
             return A * jnp.sin(f * (x[:, 0:1] + t))
+        if sol_type == "elliptic":
+            # Exact LARGE-amplitude solution (release from rest at theta0):
+            # theta(t) = 2 arcsin(sin(theta0/2) cd(omega t | m)) via the
+            # TPU-native Jacobi elliptic functions in ops/special.py —
+            # benchmarks the true nonlinear residual, which the reference
+            # never does (its "exact" is the small-angle cosine,
+            # reference: pendulum_equation.py:158-212).
+            from pinnrl_tpu.ops.special import pendulum_theta
+
+            theta0 = float(spec.get("initial_angle", 0.5))
+            omega = jnp.sqrt(self._g(coeffs) / self._L(coeffs))
+            return pendulum_theta(t, theta0, omega) * jnp.ones_like(x[:, 0:1])
         raise ValueError(f"Unknown exact solution type: {sol_type!r}")
 
     def compute_loss(self, apply_fn, params, x, t, coeffs=None, key=None):

@@ -62,19 +62,22 @@ def sample_residual_based(
     pool_factor: int = 4,
     eps: float = 1e-8,
     uniform_floor: float = 1.0,
+    power: float = 1.0,
     chunk_size: int = 8192,
 ) -> Tuple[jax.Array, jax.Array]:
     """Residual-Adaptive Refinement: draw a ``pool_factor * n`` uniform pool,
     evaluate |residual|, resample n points with probability
-    ``p ~ |r| / mean|r| + c`` (reference: pde_base.py:895-935). Falls back
-    to uniform when no residual function is supplied.
+    ``p ~ |r|^k / mean|r|^k + c`` (reference: pde_base.py:895-935). Falls
+    back to uniform when no residual function is supplied.
 
-    The additive floor ``c`` (RAD, Wu et al. 2023, CMAME "A comprehensive
-    study of non-adaptive and residual-based adaptive sampling for PINNs",
-    k=1 c=1) keeps ~half the mass uniform: pure residual-proportional
-    draws starve the BC/IC and smooth regions — measured on the Burgers
-    traveling wave it LOSES to uniform (6.0e-3 vs 2.2e-3 rel-L2) while the
-    floored form wins.
+    ``k`` (``power``) and the additive floor ``c`` (``uniform_floor``) are
+    the RAD hyper-parameters of Wu et al. 2023, CMAME "A comprehensive
+    study of non-adaptive and residual-based adaptive sampling for PINNs"
+    (default k=1 c=1). The floor keeps ~half the mass uniform: pure
+    residual-proportional draws starve the BC/IC and smooth regions —
+    measured on the Burgers traveling wave c=0 LOSES to uniform (6.0e-3 vs
+    2.2e-3 rel-L2) while the floored form wins. Round-3 sweep over
+    (k, c, pool) on the same harness: see benchmark_results/README.md.
 
     Pools larger than ``chunk_size`` are evaluated sequentially via
     ``lax.map`` (the pool is rounded up to a whole number of chunks):
@@ -96,6 +99,8 @@ def sample_residual_based(
         ).reshape(-1)
     else:
         r = jnp.abs(residual_fn(x_pool, t_pool)).reshape(-1)
+    if power != 1.0:
+        r = r**power
     p = r / (jnp.mean(r) + eps) + uniform_floor
     # All-zero weights (possible with uniform_floor=0 and a zero residual
     # field, e.g. a zero-init net at step 0) would make every logit -inf and

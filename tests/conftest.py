@@ -20,3 +20,45 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+# ---------------------------------------------------------------------------
+# Optional line coverage via scripts/covtool.py (PEP 669 sys.monitoring).
+# Enabled when PINNRL_COV_DIR is set; xdist-safe (per-process JSON dumps
+# merged by scripts/coverage_gate.py). Mirrors the reference CI's >=80%
+# coverage gate (reference: .github/workflows/checks.yml:10-38).
+# ---------------------------------------------------------------------------
+_COV_DIR = os.environ.get("PINNRL_COV_DIR")
+if _COV_DIR:
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent / "scripts"))
+    import covtool as _covtool
+
+    _covtool.start()
+
+    def pytest_sessionfinish(session, exitstatus):
+        _covtool.stop(_COV_DIR)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Auto-apply the 'slow' marker from tests/slow_tests.txt.
+
+    The fast tier (`pytest -m "not slow"`) is the per-change gate; the full
+    suite (including slow end-to-end training smokes) is the nightly tier.
+    """
+    import pytest
+    from pathlib import Path
+
+    slow_file = Path(__file__).parent / "slow_tests.txt"
+    if not slow_file.exists():
+        return
+    prefixes = [
+        ln.strip()
+        for ln in slow_file.read_text().splitlines()
+        if ln.strip() and not ln.startswith("#")
+    ]
+    for item in items:
+        if any(item.nodeid.startswith(p) for p in prefixes):
+            item.add_marker(pytest.mark.slow)
