@@ -229,6 +229,58 @@ RECIPES: Dict[str, dict] = {
             learning_rate=2e-3, weight_decay=0.0,
         ),
     ),
+    "allen_cahn_dynamics": dict(
+        # VERDICT round-2 item 2: a TIME-DEPENDENT phase-field north star
+        # (the stationary-interface targets have u_t == 0). Target = ETDRK4
+        # spectral trajectory of 1D spinodal decomposition (two unstable
+        # modes growing from 0.1/0.05 perturbations to saturated +-1
+        # domains over t in [0, 8]); reference accuracy ~8e-6 by dt
+        # refinement (numerical_solvers/spectral.py).
+        pde_type="allen_cahn",
+        arch="fourier",
+        model=dict(hidden_dims=[256, 256, 256], mapping_size=128, scale=1.0),
+        pde=dict(
+            parameters={"epsilon": 0.5},
+            domain=[[0.0, 6.283185307179586]],
+            time_domain=[0.0, 8.0],
+            exact_solution={"type": "spectral", "ic_modes": [[1, 0.1], [2, 0.05]],
+                            "nx": 128, "dt": 2e-3},
+            initial_condition={"type": "spectral"},
+            boundary_conditions={"periodic": {}},
+        ),
+        training=dict(
+            num_epochs=3000, num_collocation_points=40000, batch_size=8192,
+            num_boundary_points=4096, num_initial_points=4096,
+            optimizer="adam_lbfgs", adam_lbfgs_switch_ratio=0.5,
+            learning_rate=2e-3, weight_decay=0.0,
+        ),
+    ),
+    "cahn_hilliard_dynamics": dict(
+        # Time-dependent 4TH-ORDER phase-field dynamics: 1D spinodal
+        # decomposition + first coarsening of Cahn-Hilliard against the
+        # ETDRK4 spectral reference (refinement error ~1.3e-4). Mixed
+        # (u, mu) formulation like the stationary headline recipe — the
+        # dynamics make u_t = lap(mu) load-bearing at every interior point.
+        pde_type="cahn_hilliard",
+        arch="fourier",
+        model=dict(hidden_dims=[256, 256, 256], mapping_size=128, scale=1.0,
+                   output_dim=2),
+        pde=dict(
+            parameters={"epsilon": 0.18, "formulation": "mixed"},
+            domain=[[0.0, 6.283185307179586]],
+            time_domain=[0.0, 4.0],
+            dimension=1,
+            exact_solution={"type": "spectral", "nx": 256, "dt": 1e-3},
+            initial_condition={"type": "spectral"},
+            boundary_conditions={"periodic": {}},
+        ),
+        training=dict(
+            num_epochs=3000, num_collocation_points=40000, batch_size=8192,
+            num_boundary_points=4096, num_initial_points=4096,
+            optimizer="adam_lbfgs", adam_lbfgs_switch_ratio=0.5,
+            learning_rate=2e-3, weight_decay=0.0,
+        ),
+    ),
     "pendulum_nonlinear": dict(
         # VERDICT round-2 item 3: benchmark the DEFAULT nonlinear residual
         # theta_tt + (g/L) sin(theta) = 0 (no `linearized` shortcut) against

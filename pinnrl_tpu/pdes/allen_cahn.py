@@ -19,6 +19,34 @@ class AllenCahnEquation(PDEBase):
     spatial_orders = (2,)
     temporal_orders = (1,)
 
+    def __init__(self, settings, training=None):
+        # Built BEFORE super().__init__: the base constructor materializes
+        # the IC closure, which reads the spectral trajectory.
+        self._spectral = None
+        if (getattr(settings, "exact_solution", None) or {}).get("type") == "spectral":
+            # Time-dependent benchmark target: ETDRK4 spectral trajectory of
+            # the same equation (spinodal decomposition), built eagerly so
+            # it is a constant inside every jitted loss/validation program.
+            from pinnrl_tpu.numerical_solvers.spectral import (
+                build_phase_field_reference,
+            )
+
+            eps = float((settings.parameters or {}).get("epsilon", 0.1))
+            self._spectral = build_phase_field_reference(
+                "allen_cahn", settings, eps
+            )
+            self._spectral_u = jnp.asarray(self._spectral.u)
+        super().__init__(settings, training)
+
+    def _spectral_lookup(self, x, t):
+        from pinnrl_tpu.numerical_solvers.spectral import interp_trajectory
+
+        x_min, x_max = self.settings.domain[0]
+        return interp_trajectory(
+            self._spectral_u, x, t, x_min, x_max,
+            float(self.settings.time_domain[1]),
+        )
+
     def _eps(self, coeffs: Optional[Coeffs]):
         return self.coeff(coeffs, "epsilon", default=0.1)
 
@@ -41,6 +69,8 @@ class AllenCahnEquation(PDEBase):
         eps = self._eps(coeffs)
         spec = self.settings.exact_solution or {}
         kind = spec.get("type", "tanh") if isinstance(spec, dict) else "tanh"
+        if kind == "spectral":
+            return self._spectral_lookup(x, t)
         width = jnp.sqrt(2.0) * eps if kind == "stationary_interface" else 2 * eps
         if self.dimension == 1:
             return jnp.tanh(x[:, 0:1] / width)
@@ -51,6 +81,10 @@ class AllenCahnEquation(PDEBase):
 
     def _create_initial_condition(self, params: Dict) -> Callable:
         ic_type = params.get("type", "tanh")
+        if ic_type == "spectral" or self._spectral is not None:
+            # Well-posedness: the IC must be the t=0 trace of the spectral
+            # reference (the spinodal perturbation).
+            return lambda x, t: self._spectral_lookup(x, jnp.zeros_like(x[:, 0:1]))
         if ic_type in ("tanh", "stationary_interface"):
             eps = self._eps(None)
             width = jnp.sqrt(2.0) * eps if ic_type == "stationary_interface" else 2 * eps

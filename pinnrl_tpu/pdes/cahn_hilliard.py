@@ -31,6 +31,20 @@ class CahnHilliardEquation(PDEBase):
     bundle_compatible = False
 
     def __init__(self, settings, training=None):
+        # Spectral (ETDRK4) time-dependent reference, built BEFORE
+        # super().__init__ because the base constructor materializes the IC
+        # closure which reads it (see AllenCahnEquation.__init__).
+        self._spectral = None
+        if (getattr(settings, "exact_solution", None) or {}).get("type") == "spectral":
+            from pinnrl_tpu.numerical_solvers.spectral import (
+                build_phase_field_reference,
+            )
+
+            eps = float((settings.parameters or {}).get("epsilon", 0.1))
+            self._spectral = build_phase_field_reference(
+                "cahn_hilliard", settings, eps
+            )
+            self._spectral_u = jnp.asarray(self._spectral.u)
         super().__init__(settings, training)
         # parameters.formulation = "mixed" switches to the classical mixed
         # (u, mu) weak form: a 2-channel head where channel 1 learns the
@@ -98,6 +112,14 @@ class CahnHilliardEquation(PDEBase):
         spec = self.settings.exact_solution or {}
         sol_type = spec.get("type", "tanh")
         eps = self._eps(coeffs)
+        if sol_type == "spectral":
+            from pinnrl_tpu.numerical_solvers.spectral import interp_trajectory
+
+            x_min, x_max = self.settings.domain[0]
+            return interp_trajectory(
+                self._spectral_u, x, t, x_min, x_max,
+                float(self.settings.time_domain[1]),
+            )
         if sol_type == "stationary_interface":
             a = jnp.sqrt(2.0) * eps
             return jnp.tanh(x[:, 0:1] / a)
@@ -110,6 +132,9 @@ class CahnHilliardEquation(PDEBase):
 
     def _create_initial_condition(self, params: Dict) -> Callable:
         ic_type = params.get("type", "tanh")
+        if ic_type == "spectral" or self._spectral is not None:
+            # t=0 trace of the spectral reference (spinodal perturbation).
+            return lambda x, t: self.exact_solution(x, jnp.zeros_like(x[:, 0:1]))
         if (
             ic_type == "stationary_interface"
             or (self.settings.exact_solution or {}).get("type")

@@ -63,6 +63,7 @@ def sample_residual_based(
     eps: float = 1e-8,
     uniform_floor: float = 1.0,
     power: float = 1.0,
+    replace: bool = True,
     chunk_size: int = 8192,
 ) -> Tuple[jax.Array, jax.Array]:
     """Residual-Adaptive Refinement: draw a ``pool_factor * n`` uniform pool,
@@ -108,7 +109,16 @@ def sample_residual_based(
     # uniform draw over the pool instead (reference's `r + eps` guard,
     # pde_base.py:895-935).
     p = jnp.where(jnp.sum(p) > 0, p, jnp.ones_like(p))
-    idx = jax.random.categorical(k_pick, jnp.log(p), shape=(n,))
+    if replace:
+        idx = jax.random.categorical(k_pick, jnp.log(p), shape=(n,))
+    else:
+        # Weighted sampling WITHOUT replacement via the Gumbel top-k trick
+        # (Vieira 2014): top-n of log p + Gumbel noise is an exact sample
+        # from the successive-draws-without-replacement process, fully
+        # on-device. With replacement, drawing n from a 4n pool wastes
+        # ~11% of the batch on duplicates.
+        g = -jnp.log(-jnp.log(jax.random.uniform(k_pick, p.shape) + 1e-12) + 1e-12)
+        _, idx = jax.lax.top_k(jnp.log(p) + g, n)
     return x_pool[idx], t_pool[idx]
 
 

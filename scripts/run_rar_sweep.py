@@ -31,6 +31,13 @@ CONFIGS = [
     ("rad_k0.5_c1_p4", dict(power=0.5, uniform_floor=1.0, pool_factor=4)),
     ("rad_k1_c1_p2", dict(power=1.0, uniform_floor=1.0, pool_factor=2)),
     ("rad_k1_c1_p8", dict(power=1.0, uniform_floor=1.0, pool_factor=8)),
+    # Without-replacement (Gumbel top-k) variants: with replacement, n draws
+    # from a 4n pool waste ~11% of the batch on duplicates.
+    ("rad_k1_c1_p4_nr", dict(power=1.0, uniform_floor=1.0, pool_factor=4, replace=False)),
+    ("rad_k1_c2_p4_nr", dict(power=1.0, uniform_floor=2.0, pool_factor=4, replace=False)),
+    ("rad_k1_c4_p4_nr", dict(power=1.0, uniform_floor=4.0, pool_factor=4, replace=False)),
+    ("rad_k0.5_c1_p4_nr", dict(power=0.5, uniform_floor=1.0, pool_factor=4, replace=False)),
+    ("rad_k2_c1_p8_nr", dict(power=2.0, uniform_floor=1.0, pool_factor=8, replace=False)),
 ]
 
 
