@@ -61,9 +61,9 @@ def sample_residual_based(
     residual_fn: Optional[Callable[[jax.Array, jax.Array], jax.Array]] = None,
     pool_factor: int = 4,
     eps: float = 1e-8,
-    uniform_floor: float = 1.0,
+    uniform_floor: float = 4.0,
     power: float = 1.0,
-    replace: bool = True,
+    replace: bool = False,
     chunk_size: int = 8192,
 ) -> Tuple[jax.Array, jax.Array]:
     """Residual-Adaptive Refinement: draw a ``pool_factor * n`` uniform pool,
@@ -74,11 +74,18 @@ def sample_residual_based(
     ``k`` (``power``) and the additive floor ``c`` (``uniform_floor``) are
     the RAD hyper-parameters of Wu et al. 2023, CMAME "A comprehensive
     study of non-adaptive and residual-based adaptive sampling for PINNs"
-    (default k=1 c=1). The floor keeps ~half the mass uniform: pure
-    residual-proportional draws starve the BC/IC and smooth regions —
-    measured on the Burgers traveling wave c=0 LOSES to uniform (6.0e-3 vs
-    2.2e-3 rel-L2) while the floored form wins. Round-3 sweep over
-    (k, c, pool) on the same harness: see benchmark_results/README.md.
+    (their nominal k=1 c=1). The shipped defaults come from a 14-config x
+    6-seed sweep on the Burgers-front harness
+    (benchmark_results/rar_sweep*.csv, summarized in
+    benchmark_results/README.md):
+
+    - ``replace=False`` — weighted sampling WITHOUT replacement (Gumbel
+      top-k): with replacement, n draws from a 4n pool waste ~25% of a
+      peaked batch on duplicates, which alone made RAR lose to uniform.
+    - ``uniform_floor=4.0`` — a strong floor. Moderate bias is what pays:
+      c=4 ties uniform on the easy front (nu=0.01) and beats it 1.3x on
+      the sharp front (nu=0.004); every stronger-bias config (c<=1, k=2,
+      or with-replacement) is worse in BOTH regimes, and c=0 loses 3x.
 
     Pools larger than ``chunk_size`` are evaluated sequentially via
     ``lax.map`` (the pool is rounded up to a whole number of chunks):

@@ -5,6 +5,9 @@ residuals and parameter gradients between the BundleView fast path and the
 per-point nested-jvp path. CPU-only (safe to run while the TPU is busy).
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
 import jax
 
 jax.config.update("jax_platforms", "cpu")

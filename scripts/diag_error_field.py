@@ -15,6 +15,10 @@ model is diagnosed against is the one it trained on.
 
 from __future__ import annotations
 
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 import sys
 
 import jax

@@ -14,6 +14,10 @@ Appends rows to benchmark_results/probe_kdv_ensemble.csv
 
 from __future__ import annotations
 
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 import sys
 import time
 from pathlib import Path

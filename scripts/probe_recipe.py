@@ -16,6 +16,10 @@ Appends rows to benchmark_results/probe_matrix.csv
 
 from __future__ import annotations
 
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 import sys
 import time
 from pathlib import Path
@@ -112,6 +116,10 @@ def main():
             elif v == "mixed":
                 cfg.model.output_dim = 2
                 cfg.pde.output_dim = 2
+            elif v == "direct":
+                # Single-channel head, biharmonic residual path.
+                cfg.model.output_dim = 1
+                cfg.pde.output_dim = 1
         elif k == "bc":
             if v == "exact":
                 cfg.pde.boundary_conditions = {"dirichlet": {"type": "exact"}}

@@ -15,6 +15,10 @@ Appends rows to benchmark_results/convergence_r2.csv.
 
 from __future__ import annotations
 
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 import argparse
 import json
 import shutil

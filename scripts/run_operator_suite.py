@@ -11,6 +11,10 @@ serves real Well data when `the_well` is installed).
 
 from __future__ import annotations
 
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 import argparse
 import json
 import subprocess

@@ -50,9 +50,16 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--csv", default=str(ROOT / "benchmark_results" / "rar_sweep.csv"))
     ap.add_argument("--configs", default="")
+    ap.add_argument("--nu", type=float, default=None,
+                    help="override Burgers viscosity (front width = 4 nu / a)")
     args = ap.parse_args()
 
     from pinnrl_tpu.benchmarks.sampling import _train_one
+
+    if args.nu is not None:
+        from pinnrl_tpu.benchmarks.convergence import RECIPES
+
+        RECIPES["burgers"]["pde"]["parameters"]["nu"] = args.nu
 
     csv = Path(args.csv)
     if not csv.exists():

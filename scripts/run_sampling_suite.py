@@ -26,7 +26,8 @@ _RUN_ONE = """
 import json
 from pinnrl_tpu.benchmarks.sampling import run_sampling_benchmark
 rs = run_sampling_benchmark(pde={pde!r}, epochs={epochs}, batch={batch},
-                            lr={lr}, seed={seed}, arch={arch!r})
+                            lr={lr}, seed={seed}, arch={arch!r},
+                            strategies={strategies!r}, rar={rar!r})
 for r in rs:
     print("RESULT " + json.dumps(r.__dict__))
 """
@@ -42,7 +43,22 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--csv", default=str(ROOT / "benchmark_results" / "sampling_r2.csv"))
     ap.add_argument("--timeout", type=int, default=3600)
+    ap.add_argument("--strategies", default="",
+                    help="comma list; empty = all four")
+    ap.add_argument("--rar", default="",
+                    help="RAD overrides as k=v comma list, e.g. "
+                         "'uniform_floor=4,replace=0'")
     args = ap.parse_args()
+
+    strategies = args.strategies.split(",") if args.strategies else None
+    rar = None
+    if args.rar:
+        rar = {}
+        for kv in args.rar.split(","):
+            k, v = kv.split("=")
+            rar[k] = (v.lower() in ("1", "true")) if k == "replace" else float(v)
+            if k == "pool_factor":
+                rar[k] = int(float(v))
 
     csv = Path(args.csv)
     if not csv.exists():
@@ -57,6 +73,7 @@ def main() -> int:
         code = _RUN_ONE.format(
             pde=args.pde, epochs=args.epochs, batch=args.batch,
             lr=args.lr, seed=seed, arch=args.arch,
+            strategies=strategies, rar=rar,
         )
         print(f"=== {args.pde} seed={seed} ===", flush=True)
         proc = subprocess.run(

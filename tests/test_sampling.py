@@ -41,10 +41,11 @@ def test_stratified_coverage():
 
 
 def test_rar_concentrates_on_high_residual():
-    # Residual is large only for x > 0.5. With the RAD uniform floor (c=1,
-    # Wu et al. 2023) about half the mass stays uniform, so concentration
-    # sits between the uniform 0.5 and full: pure proportional draws starve
-    # BC/IC regions and lose to uniform on real problems.
+    # Residual is large only for x > 0.5 (25% of space). The shipped RAD
+    # floor (c=4, benchmark_results/rar_sweep*.csv) keeps the bias
+    # moderate: expected high-region mass = 0.25*8/(0.25*8 + 0.75*4) = 0.4
+    # vs 0.25 under uniform — stronger bias measurably loses on the
+    # Burgers-front harness in BOTH tested regimes.
     def residual_fn(x, t):
         return jnp.where(x > 0.5, 100.0, 0.001)
 
@@ -52,15 +53,23 @@ def test_rar_concentrates_on_high_residual():
         jax.random.PRNGKey(0), 256, DOMAIN, TIME, residual_fn=residual_fn
     )
     frac_high = float(jnp.mean(x > 0.5))
-    assert 0.55 < frac_high < 0.95
+    assert 0.30 < frac_high < 0.55
     _check_bounds(x, t)
 
-    # uniform_floor=0 restores pure residual-proportional draws.
+    # The nominal Wu et al. c=1 concentrates harder.
+    x, t = sample_residual_based(
+        jax.random.PRNGKey(0), 256, DOMAIN, TIME,
+        residual_fn=residual_fn, uniform_floor=1.0,
+    )
+    assert 0.45 < float(jnp.mean(x > 0.5)) < 0.95
+
+    # uniform_floor=0 restores (nearly) pure residual-proportional draws;
+    # without replacement the 4x pool caps the high-region supply at ~n.
     x, t = sample_residual_based(
         jax.random.PRNGKey(0), 256, DOMAIN, TIME,
         residual_fn=residual_fn, uniform_floor=0.0,
     )
-    assert float(jnp.mean(x > 0.5)) > 0.9
+    assert float(jnp.mean(x > 0.5)) > 0.85
 
 
 def test_rar_chunked_pool_matches_unchunked():
