@@ -52,14 +52,18 @@ def _on_line(code, line):
 
 
 def start(pkg_root: str | None = None) -> None:
-    """Begin collecting. ``pkg_root`` defaults to the installed pinnrl_tpu dir."""
+    """Begin collecting.
+
+    ``pkg_root`` defaults to the repo-relative pinnrl_tpu directory WITHOUT
+    importing the package: importing it here would execute every module-level
+    line (dataclass bodies, def statements, the whole config module via
+    pinnrl_tpu/__init__) before instrumentation starts, silently marking
+    them uncovered."""
     global _pkg_root, _active
     if _active:
         return
     if pkg_root is None:
-        import pinnrl_tpu
-
-        pkg_root = str(Path(pinnrl_tpu.__file__).parent)
+        pkg_root = str(Path(__file__).resolve().parent.parent / "pinnrl_tpu")
     _pkg_root = pkg_root
     sys.monitoring.use_tool_id(_TOOL, "pinnrl-cov")
     sys.monitoring.register_callback(_TOOL, sys.monitoring.events.LINE, _on_line)
