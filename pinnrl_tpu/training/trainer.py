@@ -435,11 +435,13 @@ class PDETrainer:
                 return st, metrics
             return run(state)
 
-        # NOTE: no donate_argnums here. With buffer donation the axon TPU
-        # backend returned a final scan carry inconsistent with the metrics
-        # computed inside the scan (params silently diverged); dropping
-        # donation restores correctness at the cost of one extra state copy.
-        return jax.jit(chunk_fn, static_argnums=1)
+        # Buffer donation re-enabled (round 3): the round-2 axon backend
+        # returned a final scan carry inconsistent with in-scan metrics
+        # under donation (params silently diverged); the minimal repro
+        # (scripts/test_buffer_donation.py) now passes bit-identically on
+        # the current backend, and donating the state pytree saves a full
+        # params+opt_state copy per chunk.
+        return jax.jit(chunk_fn, static_argnums=1, donate_argnums=0)
 
     def _maybe_promote_f64(self, params):
         """Cast the optimized pytree's floats to float64 for the L-BFGS phase

@@ -25,10 +25,17 @@ ROOT = Path(__file__).resolve().parent.parent
 _RUN_ONE = """
 import json
 from pinnrl_tpu.benchmarks.sampling import run_sampling_benchmark
-rs = run_sampling_benchmark(pde={pde!r}, epochs={epochs}, batch={batch},
+label = {pde!r}
+pde_key = {pde_key!r}
+nu = {nu!r}
+if nu is not None:
+    from pinnrl_tpu.benchmarks.convergence import RECIPES
+    RECIPES[pde_key]["pde"]["parameters"]["nu"] = nu
+rs = run_sampling_benchmark(pde=pde_key, epochs={epochs}, batch={batch},
                             lr={lr}, seed={seed}, arch={arch!r},
                             strategies={strategies!r}, rar={rar!r})
 for r in rs:
+    r.pde = label
     print("RESULT " + json.dumps(r.__dict__))
 """
 
@@ -45,6 +52,9 @@ def main() -> int:
     ap.add_argument("--timeout", type=int, default=3600)
     ap.add_argument("--strategies", default="",
                     help="comma list; empty = all four")
+    ap.add_argument("--nu", type=float, default=None,
+                    help="override Burgers viscosity; rows are labeled "
+                         "<pde>_sharp when set")
     ap.add_argument("--rar", default="",
                     help="RAD overrides as k=v comma list, e.g. "
                          "'uniform_floor=4,replace=0'")
@@ -70,8 +80,10 @@ def main() -> int:
 
     failures = 0
     for seed in (int(s) for s in args.seeds.split(",")):
+        label = args.pde + ("_sharp" if args.nu is not None else "")
         code = _RUN_ONE.format(
-            pde=args.pde, epochs=args.epochs, batch=args.batch,
+            pde=label, pde_key=args.pde, nu=args.nu,
+            epochs=args.epochs, batch=args.batch,
             lr=args.lr, seed=seed, arch=args.arch,
             strategies=strategies, rar=rar,
         )
