@@ -130,6 +130,11 @@ def main(argv=None) -> int:
     p_o.add_argument("--traj", type=int, default=1)
     p_o.add_argument("--points", type=int, default=8192)
     p_o.add_argument("--seed", type=int, default=0)
+    p_o.add_argument(
+        "--gridded", action="store_true",
+        help="True operator learning: gridded 2D FNO on whole-field "
+             "time-advance pairs, evaluated on held-out trajectories",
+    )
     p_o.add_argument("--csv", default=None)
     p_o.set_defaults(func=_operator_command)
 
@@ -145,12 +150,21 @@ def main(argv=None) -> int:
 
 
 def _operator_command(args) -> int:
-    from pinnrl_tpu.benchmarks.operator import results_to_csv, run_operator_benchmark
-
-    r = run_operator_benchmark(
-        dataset=args.dataset, arch=args.arch, epochs=args.epochs,
-        n_traj=args.traj, n_points=args.points, seed=args.seed,
+    from pinnrl_tpu.benchmarks.operator import (
+        results_to_csv,
+        run_gridded_operator_benchmark,
+        run_operator_benchmark,
     )
+
+    if args.gridded:
+        r = run_gridded_operator_benchmark(
+            dataset=args.dataset, epochs=args.epochs, seed=args.seed,
+        )
+    else:
+        r = run_operator_benchmark(
+            dataset=args.dataset, arch=args.arch, epochs=args.epochs,
+            n_traj=args.traj, n_points=args.points, seed=args.seed,
+        )
     _print_table(
         [(r.dataset, r.architecture, r.mode, r.epochs,
           f"{r.test_rel_l2:.3e}", f"{r.test_max_error:.3e}",

@@ -38,10 +38,10 @@ from pinnrl_tpu.models import PINNModel
 from pinnrl_tpu.parallel import make_mesh, shard_batch
 from pinnrl_tpu.pdes import create_pde
 
-n = {n}
-mode = {mode!r}          # "weak" scales batch with n; "fixed" keeps it
-per_device_batch = {per_device_batch}
-steps = {steps}
+n = int(os.environ["WS_N"])
+mode = os.environ["WS_MODE"]     # "weak" scales batch with n; "fixed" keeps it
+per_device_batch = int(os.environ["WS_PDB"])
+steps = int(os.environ["WS_STEPS"])
 
 mesh = make_mesh(n)
 batch = per_device_batch * (n if mode == "weak" else 1)
@@ -92,7 +92,9 @@ def run_child(n: int, mode: str, per_device_batch: int, steps: int) -> dict:
     env["XLA_FLAGS"] = (
         env.get("XLA_FLAGS", "") + f" --xla_force_host_platform_device_count={n}"
     ).strip()
-    code = _CHILD.format(n=n, mode=mode, per_device_batch=per_device_batch, steps=steps)
+    env.update(WS_N=str(n), WS_MODE=mode, WS_PDB=str(per_device_batch),
+               WS_STEPS=str(steps))
+    code = _CHILD
     proc = subprocess.run(
         [sys.executable, "-c", code], cwd=ROOT, env=env,
         capture_output=True, text=True, timeout=1800,
