@@ -272,13 +272,19 @@ RECIPES: Dict[str, dict] = {
         # target changes 58% over the window (5% in the second half).
         # Mixed (u, mu) formulation like the stationary headline recipe —
         # the dynamics make u_t = lap(mu) load-bearing at every interior
-        # point.
+        # point. eps=0.5, NOT smaller: CH's linear growth rate is
+        # lambda* = 1/(4 eps^2), and forward-error analysis says a trained
+        # residual of rms r produces end-window error ~ (r/lambda) e^{lambda T}
+        # — at eps=0.3 (lambda 2.8, T=4) that's e^11 amplification and the
+        # probes confirmed rel-L2 ~0.8 at train loss 1.5e-4; eps=0.5 brings
+        # lambda* to 1.0, the same conditioning as the AC recipe that
+        # converges. 52% field change over the window, 5% in the second half.
         pde_type="cahn_hilliard",
         arch="fourier",
         model=dict(hidden_dims=[256, 256, 256], mapping_size=128, scale=1.0,
                    output_dim=2),
         pde=dict(
-            parameters={"epsilon": 0.3, "formulation": "mixed"},
+            parameters={"epsilon": 0.5, "formulation": "mixed"},
             domain=[[0.0, 6.283185307179586]],
             time_domain=[0.0, 4.0],
             dimension=1,

@@ -107,9 +107,15 @@ def test_pde_spectral_exact_and_ic():
     pde = create_pde(cfg)
     x = jnp.linspace(0.0, 6.28, 9).reshape(-1, 1)
     u0 = pde.exact_solution(x, jnp.zeros((9, 1)))
-    # t=0 trace equals the spinodal IC
-    ic = spinodal_ic(((1, 0.1), (2, 0.05)))(x[:, 0]).reshape(-1, 1)
+    # t=0 trace equals the recipe's own spinodal IC
+    modes = tuple(
+        (int(n), float(a)) for n, a in cfg.pde.exact_solution["ic_modes"]
+    )
+    ic = spinodal_ic(modes)(x[:, 0]).reshape(-1, 1)
     np.testing.assert_allclose(np.asarray(u0), np.asarray(ic), atol=1e-4)
     # late field is saturated (the dynamics actually happened)
-    u_end = pde.exact_solution(x, jnp.full((9, 1), 8.0))
+    t_end = float(cfg.pde.time_domain[1])
+    u_end = pde.exact_solution(x, jnp.full((9, 1), t_end))
     assert float(jnp.abs(u_end).max()) > 0.8
+    # and the field genuinely evolved
+    assert float(jnp.abs(u_end - u0).max()) > 0.2
