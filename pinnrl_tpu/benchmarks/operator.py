@@ -155,7 +155,7 @@ def run_gridded_operator_benchmark(
     def make_pairs(traj_list):
         a = np.concatenate([tr[:-1] for tr in traj_list], axis=0)
         u = np.concatenate([tr[1:] for tr in traj_list], axis=0)
-        return jnp.asarray(a), jnp.asarray(u)
+        return np.asarray(a, np.float32), np.asarray(u, np.float32)
 
     a_train, u_train = make_pairs(trajs[:n_traj_train])
     a_test, u_test = make_pairs(trajs[n_traj_train:])
@@ -170,14 +170,17 @@ def run_gridded_operator_benchmark(
     n = a_train.shape[0]
     batch = min(16, n)
 
-    def step(carry, _):
+    # Datasets are EXPLICIT jit arguments, not captured constants: the
+    # remote (axon) TPU backend cannot materialize device-resident arrays
+    # back to host for MLIR constant embedding.
+    def step(carry, _, a_all, u_all):
         params, opt_state, key = carry
         key, kb = jax.random.split(key)
         idx = jax.random.choice(kb, n, (batch,), replace=False)
 
         def loss_fn(p):
-            pred = fno.apply(p, a_train[idx])
-            return jnp.mean((pred - u_train[idx]) ** 2)
+            pred = fno.apply(p, a_all[idx])
+            return jnp.mean((pred - u_all[idx]) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state)
@@ -186,14 +189,16 @@ def run_gridded_operator_benchmark(
     inner = min(50, epochs)
 
     @jax.jit
-    def chunk(carry):
-        return jax.lax.scan(step, carry, None, length=inner)
+    def chunk(carry, a_all, u_all):
+        return jax.lax.scan(
+            lambda c, x: step(c, x, a_all, u_all), carry, None, length=inner
+        )
 
     carry = (params, opt_state, jax.random.PRNGKey(seed + 1))
     t0 = time.perf_counter()
     losses = None
     for _ in range(max(epochs // inner, 1)):
-        carry, losses = chunk(carry)
+        carry, losses = chunk(carry, a_train, u_train)
     params = carry[0]
     final_loss = float(jax.block_until_ready(losses)[-1])
     wall = time.perf_counter() - t0
