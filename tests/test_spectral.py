@@ -112,7 +112,9 @@ def test_pde_spectral_exact_and_ic():
         (int(n), float(a)) for n, a in cfg.pde.exact_solution["ic_modes"]
     )
     ic = spinodal_ic(modes)(x[:, 0]).reshape(-1, 1)
-    np.testing.assert_allclose(np.asarray(u0), np.asarray(ic), atol=1e-4)
+    # atol bounded by LINEAR x-interpolation of the cos modes on the
+    # nx=64 test grid: h^2/8 * max|u''| ~ 2e-3.
+    np.testing.assert_allclose(np.asarray(u0), np.asarray(ic), atol=2e-3)
     # late field is saturated (the dynamics actually happened)
     t_end = float(cfg.pde.time_domain[1])
     u_end = pde.exact_solution(x, jnp.full((9, 1), t_end))
