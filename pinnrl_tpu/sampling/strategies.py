@@ -164,7 +164,15 @@ def sample_adaptive(
     # concentrates, the floor keeps base coverage.
     p = scores / (jnp.mean(scores) + 1e-8) + 1.0
     k_pick, k_jit = jax.random.split(key)
-    idx = jax.random.categorical(k_pick, jnp.log(p), shape=(n,))
+    if n <= p.shape[0]:
+        # Gumbel top-k: weighted WITHOUT replacement (same duplicate-waste
+        # argument as RAR; the in-cell jitter below decorrelates positions
+        # but duplicate cells still concentrate mass the policy didn't ask
+        # for). Falls back to categorical when n exceeds the grid.
+        g = -jnp.log(-jnp.log(jax.random.uniform(k_pick, p.shape) + 1e-12) + 1e-12)
+        _, idx = jax.lax.top_k(jnp.log(p) + g, n)
+    else:
+        idx = jax.random.categorical(k_pick, jnp.log(p), shape=(n,))
     picked = grid[idx]
     lo, hi = _bounds(domain, time_domain)
     cell = (hi - lo) / (points_per_axis - 1)
