@@ -94,6 +94,44 @@ class CahnHilliardEquation(PDEBase):
         lap_mu = laplacian(mu, z, axes)
         return u_t - lap_mu
 
+    def compute_loss(self, apply_fn, params, x, t, coeffs=None, key=None):
+        """Adds the mass-conservation penalty when ``loss_weights.mass > 0``.
+
+        CH is an H^-1 gradient flow: the spatial mean of u is conserved
+        exactly, and it is the GLOBAL invariant that pins interface
+        positions — round-3 dynamics probes all converged to tiny residuals
+        with drifting mass and O(1) position error (docs/roadmap.md). The
+        penalty ties the 1D spatial mean of u at K random times to the IC's
+        mean on a fixed x-grid (one extra (K*G)-point forward pass)."""
+        losses = super().compute_loss(apply_fn, params, x, t, coeffs=coeffs, key=key)
+        w_mass = float(self._loss_weights().get("mass", 0.0))
+        if w_mass <= 0.0 or self.dimension != 1:
+            return losses
+        key = key if key is not None else jax.random.PRNGKey(0)
+        G, K = 128, 16
+        (x_lo, x_hi) = self.domain[0]
+        xs = jnp.linspace(x_lo, x_hi, G).reshape(-1, 1)
+        ts = jax.random.uniform(
+            jax.random.fold_in(key, 0x3A55), (K, 1),
+            minval=self.time_domain[0], maxval=self.time_domain[1],
+        )
+        ic_fn = self.boundary_conditions.get("initial")
+        mass0 = (
+            jnp.mean(ic_fn(xs, jnp.zeros_like(xs)))
+            if ic_fn is not None else jnp.zeros(())
+        )
+        xg = jnp.tile(xs, (K, 1))
+        tg = jnp.repeat(ts, G, axis=0)
+        u = apply_fn(params, jnp.concatenate([xg, tg], axis=-1)).reshape(
+            K, G, -1
+        )[..., 0]
+        mass_loss = jnp.mean((jnp.mean(u, axis=1) - mass0) ** 2)
+        losses["mass"] = mass_loss
+        mode = self._training_mode()
+        active = 0.0 if mode == "data_only" else 1.0
+        losses["total"] = losses["total"] + active * w_mass * mass_loss
+        return losses
+
     def exact_solution(self, x, t, coeffs: Optional[Coeffs] = None):
         """Typed exact solutions.
 
