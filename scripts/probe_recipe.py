@@ -108,6 +108,8 @@ def main():
             cfg.training.loss_weights["boundary"] = float(v)
         elif k == "w_res":
             cfg.training.loss_weights["residual"] = float(v)
+        elif k == "w_mass":
+            cfg.training.loss_weights["mass"] = float(v)
         elif k == "formulation":
             cfg.pde.parameters["formulation"] = v
             if v == "first_order":
