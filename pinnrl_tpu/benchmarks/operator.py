@@ -187,6 +187,11 @@ def run_gridded_operator_benchmark(
         return (optax.apply_updates(params, updates), opt_state, key), loss
 
     inner = min(50, epochs)
+    # Run ceil(epochs/inner) chunks and report the step count actually
+    # executed (advisor round-3: epochs//inner silently under-trained, e.g.
+    # epochs=75 ran 50 steps while the row claimed 75).
+    n_chunks = -(-epochs // inner)
+    epochs_run = n_chunks * inner
 
     @jax.jit
     def chunk(carry, a_all, u_all):
@@ -197,7 +202,7 @@ def run_gridded_operator_benchmark(
     carry = (params, opt_state, jax.random.PRNGKey(seed + 1))
     t0 = time.perf_counter()
     losses = None
-    for _ in range(max(epochs // inner, 1)):
+    for _ in range(n_chunks):
         carry, losses = chunk(carry, a_train, u_train)
     params = carry[0]
     final_loss = float(jax.block_until_ready(losses)[-1])
@@ -210,7 +215,7 @@ def run_gridded_operator_benchmark(
         dataset=f"{dataset}(gridded)",
         architecture="grid_fno2d",
         mode="operator",
-        epochs=epochs,
+        epochs=epochs_run,
         train_points=int(np.prod(a_train.shape)),
         test_rel_l2=rel_l2,
         test_max_error=float(np.abs(pred - u).max()),

@@ -203,6 +203,14 @@ def build_phase_field_reference(kind: str, settings, eps: float) -> SpectralResu
     if settings.dimension != 1:
         raise ValueError("spectral phase-field reference supports 1D only")
     x_min, x_max = settings.domain[0]
+    if float(settings.time_domain[0]) != 0.0:
+        # The solver integrates [0, t_end] and interp_trajectory maps
+        # t_query/t_end; a nonzero start would silently time-shift the
+        # reference rather than translating it (advisor round-3 finding).
+        raise ValueError(
+            "spectral exact_solution requires time_domain[0] == 0.0 "
+            f"(got {settings.time_domain[0]})"
+        )
     t_end = float(settings.time_domain[1])
     modes = tuple(
         (int(n), float(a))

@@ -3,8 +3,12 @@
 Jacobi elliptic functions via the descending Landen / AGM transformation
 (Abramowitz & Stegun 16.4). A fixed, unrolled iteration count keeps the
 computation jit-compatible (no data-dependent control flow); convergence is
-quadratic, so ``_N_LANDEN=10`` reaches f32 machine precision for any
-m = k^2 <= 0.9999.
+quadratic, so ``_N_LANDEN=6`` gives c_6 < 1e-12 for any m = k^2 <= 0.95.
+Beyond m ~ 0.95 (pendulum amplitudes approaching pi) accuracy degrades:
+each extra Landen level doubles the seed phase and amplifies f32 rounding,
+so the level count trades tail-m coverage against f32 noise — see the
+comment at ``_N_LANDEN`` below. Callers needing m > 0.95 should switch to
+f64 or clamp.
 
 Used by the nonlinear-pendulum exact solution
 theta(t) = 2 arcsin(k cd(omega t, k)) — the exact large-amplitude solution

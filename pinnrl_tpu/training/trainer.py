@@ -191,6 +191,7 @@ class PDETrainer:
             + physics * weights[2] * losses["initial"]
             + smooth_w * losses["smoothness"]
             + physics * float(lw.get("gpinn", 0.0)) * losses.get("gpinn", 0.0)
+            + physics * float(lw.get("mass", 0.0)) * losses.get("mass", 0.0)
             + data_w * losses["data"]
         )
 

@@ -2,6 +2,7 @@
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 from pinnrl_tpu.benchmarks.convergence import build_recipe_config
@@ -65,3 +66,49 @@ def test_mass_term_jittable(setup):
         lambda p: pde.compute_loss(model.apply, p, x, t, key=jax.random.PRNGKey(1))["total"]
     )(model.params)
     assert jnp.isfinite(total)
+
+
+def test_mass_term_in_adaptive_weighted_total(setup):
+    """Advisor round-3 medium: with adaptive weights enabled, the training
+    gradient flows through _weighted_total, which must include the mass
+    penalty (it was silently dropped)."""
+    from pinnrl_tpu.training import PDETrainer
+
+    cfg, pde, model = setup
+    cfg.training.adaptive_weights.enabled = True
+    trainer = PDETrainer(model, pde, cfg)
+    w = jnp.array([1.0, 1.0, 1.0])
+    base = {k: jnp.asarray(0.0) for k in
+            ("residual", "boundary", "initial", "smoothness", "data")}
+    lo = trainer._weighted_total({**base, "mass": jnp.asarray(0.0)}, w)
+    hi = trainer._weighted_total({**base, "mass": jnp.asarray(1.0)}, w)
+    # loss_weights.mass = 10.0 in the fixture config
+    assert float(hi - lo) == pytest.approx(10.0, rel=1e-6)
+
+
+def test_adaptive_weights_plus_mass_trains(setup):
+    """End-to-end: adaptive weights + loss_weights.mass trains and the mass
+    component appears in history (the combination the advisor flagged)."""
+    import copy
+
+    from pinnrl_tpu.models import PINNModel
+    from pinnrl_tpu.pdes import create_pde
+    from pinnrl_tpu.training import PDETrainer
+
+    cfg = copy.deepcopy(setup[0])
+    cfg.model.hidden_dims = [16, 16]
+    cfg.model.arch_params["mapping_size"] = 8
+    t = cfg.training
+    t.num_epochs = 2
+    t.batch_size = 32
+    t.num_collocation_points = 64
+    t.num_boundary_points = 16
+    t.num_initial_points = 16
+    t.validation_frequency = 1
+    t.optimizer = "adam"
+    t.adaptive_weights.enabled = True
+    pde = create_pde(cfg)
+    model = PINNModel(cfg, seed=0)
+    res = PDETrainer(model, pde, cfg).train(seed=0)
+    assert res["status"] == "completed"
+    assert np.isfinite(res.get("final_loss", res.get("best_loss", 0.0)))
