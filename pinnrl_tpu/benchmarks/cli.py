@@ -135,6 +135,12 @@ def main(argv=None) -> int:
         help="True operator learning: gridded 2D FNO on whole-field "
              "time-advance pairs, evaluated on held-out trajectories",
     )
+    p_o.add_argument(
+        "--transfer", type=int, nargs="*", default=None, metavar="RES",
+        help="(gridded only) also evaluate the trained FNO on the held-out "
+             "trajectories regenerated at these resolutions (zero-shot "
+             "resolution transfer), e.g. --transfer 96 128",
+    )
     p_o.add_argument("--csv", default=None)
     p_o.set_defaults(func=_operator_command)
 
@@ -157,22 +163,24 @@ def _operator_command(args) -> int:
     )
 
     if args.gridded:
-        r = run_gridded_operator_benchmark(
+        out = run_gridded_operator_benchmark(
             dataset=args.dataset, epochs=args.epochs, seed=args.seed,
+            transfer_resolutions=tuple(args.transfer or ()),
         )
+        results = out if isinstance(out, list) else [out]
     else:
-        r = run_operator_benchmark(
+        results = [run_operator_benchmark(
             dataset=args.dataset, arch=args.arch, epochs=args.epochs,
             n_traj=args.traj, n_points=args.points, seed=args.seed,
-        )
+        )]
     _print_table(
         [(r.dataset, r.architecture, r.mode, r.epochs,
           f"{r.test_rel_l2:.3e}", f"{r.test_max_error:.3e}",
-          f"{r.wall_time_s:.0f}")],
+          f"{r.wall_time_s:.0f}") for r in results],
         ["dataset", "arch", "mode", "epochs", "test_rel_l2", "max_err", "wall_s"],
     )
     if args.csv:
-        _write_csv(args.csv, results_to_csv([r]))
+        _write_csv(args.csv, results_to_csv(results))
     return 0
 
 

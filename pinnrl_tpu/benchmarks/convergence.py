@@ -279,6 +279,18 @@ RECIPES: Dict[str, dict] = {
         # probes confirmed rel-L2 ~0.8 at train loss 1.5e-4; eps=0.5 brings
         # lambda* to 1.0, the same conditioning as the AC recipe that
         # converges. 52% field change over the window, 5% in the second half.
+        #
+        # Round-4 recipe (VERDICT r3 next-step 1): the round-3 probes
+        # identified MASS-CONSERVATION VIOLATION as the drift mode — CH
+        # conserves the spatial mean exactly (u_t = lap(mu) integrates to
+        # zero over the periodic cell), and a trained residual of rms r
+        # lets the mean random-walk, which the double-well then amplifies
+        # into domain misplacement. Pinning the mean (loss_weights.mass,
+        # pdes/cahn_hilliard.py) + causal weighting took rel-L2
+        # 0.79 -> 2.3e-2 @ep1500 -> 4.7e-3 @ep4000 (probe_matrix.csv
+        # `w_mass=100|causal_eps=1.0` rows); the long schedule buys the
+        # rest (the k^2-amplified mixed-form landscape descends slowly but
+        # steadily, same shape as the biharmonic recipe's 96k steps).
         pde_type="cahn_hilliard",
         arch="fourier",
         model=dict(hidden_dims=[256, 256, 256], mapping_size=128, scale=1.0,
@@ -294,10 +306,12 @@ RECIPES: Dict[str, dict] = {
             boundary_conditions={"periodic": {}},
         ),
         training=dict(
-            num_epochs=3000, num_collocation_points=40000, batch_size=8192,
+            num_epochs=8000, num_collocation_points=40000, batch_size=8192,
             num_boundary_points=4096, num_initial_points=4096,
             optimizer="adam_lbfgs", adam_lbfgs_switch_ratio=0.5,
             learning_rate=2e-3, weight_decay=0.0,
+            loss_weights={"mass": 100.0},
+            causal_eps=1.0,
         ),
     ),
     "cahn_hilliard_biharmonic": dict(

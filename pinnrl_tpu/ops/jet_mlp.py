@@ -215,11 +215,17 @@ def make_bundle_fn(
     groups = [(ax, k) for ax, k in groups if k > 0]
 
     def _net_direction(axis: int) -> jax.Array:
-        v = jnp.zeros((in_dim,), jnp.float32).at[axis].set(1.0)
+        # Built in numpy: `axis` is static, and a host-side constant avoids
+        # a scatter op (which Mosaic cannot lower when this bundle runs
+        # inside the fused Pallas kernel, ops/kernels/fused_step.py).
+        import numpy as np
+
+        v = np.zeros((in_dim,), np.float32)
+        v[axis] = 1.0
         if frame_speed is not None and axis == dimension:
             # d/dt of (x - c t, t): every spatial column picks up -c.
-            v = v.at[:dimension].set(-frame_speed)
-        return v * in_scale
+            v[:dimension] = -frame_speed
+        return jnp.asarray(v) * in_scale
 
     is_fourier = cfg.architecture == "fourier"
 

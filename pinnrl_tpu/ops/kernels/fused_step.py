@@ -1,0 +1,242 @@
+"""Fused forward+backward Pallas kernel for the residual loss.
+
+The named remaining single-chip perf lever (docs/performance.md): under XLA
+the stacked-jet forward writes every fusion-boundary activation (the
+``(S*N, width)`` stacked streams, one per Dense layer) to HBM and the
+backward reads them again — at bench widths the step is HBM-roofline-bound,
+so that round trip IS the step time. This kernel computes
+
+    loss_sum = sum_i r(z_i)^2       AND      d loss_sum / d params
+
+in ONE ``pallas_call``: a sequential grid over batch tiles where each tile
+runs the full stacked-jet forward (ops/jet_mlp.py, pure-jnp tanh/LN
+transport), the PDE's residual arithmetic, and the reverse pass — all traced
+by ``jax.value_and_grad`` *inside the kernel body*, so every intermediate
+lives in VMEM/registers and nothing but weights, coordinates, and the
+accumulated gradients ever touches HBM.
+
+Exposed through ``PDEBase.attach_fused_residual_kernel`` and gated exactly
+like the other Pallas kernels (TPU backend only; XLA fallback elsewhere).
+The custom-VJP wrapper computes gradients in the *forward* pallas call and
+replays them in the backward, so ``jax.value_and_grad(total_loss)`` works
+unchanged on top.
+
+Reference parity note: accelerates the identical quantity the reference
+computes with repeated ``torch.autograd.grad`` chains plus ``loss.backward``
+(reference: pinnrl/pdes/pde_base.py:590-794, 1086-1135); a fused
+single-program fwd+bwd has no torch counterpart — it is a TPU/VMEM-shaped
+design.
+"""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pinnrl_tpu.ops.jet_mlp import BundleView, make_bundle_fn
+
+# Live-set budget for one tile's fused fwd+bwd program. VMEM is ~16 MB/core;
+# leave headroom for weights, double buffering and Mosaic spills.
+_VMEM_BUDGET_BYTES = 6 * 2**20
+# Rough count of simultaneously-live stacked activations under AD (forward
+# residuals + cotangents), measured from interpret-mode peak on the bench
+# config. Conservative by design: a too-small tile only costs grid steps.
+_LIVE_TENSORS = 24
+
+
+def _numpy_shim(model):
+    """Model stand-in whose captured constants are host numpy arrays.
+
+    ``make_bundle_fn`` closes over ``model.constants`` / ``_in_lo`` /
+    ``_in_scale``; if those are device arrays they would be embedded as MLIR
+    constants inside the kernel — the exact pattern the axon backend cannot
+    lower (see memory: tpu-backend-quirks). Numpy constants embed fine.
+    """
+    consts = jax.tree_util.tree_map(np.asarray, model.constants)
+    return SimpleNamespace(
+        config=model.config,
+        constants=consts,
+        _in_lo=np.asarray(model._in_lo),
+        _in_scale=np.asarray(model._in_scale),
+        _frame_speed=model._frame_speed,
+        output_transform=model.output_transform,
+    )
+
+
+def pick_tile(n_points: int, stacked_streams: int, width: int) -> int:
+    """Largest power-of-two tile whose fused live set fits the VMEM budget."""
+    per_row = stacked_streams * width * 4 * _LIVE_TENSORS
+    tile = 1 << max(int(np.floor(np.log2(max(_VMEM_BUDGET_BYTES // max(per_row, 1), 8)))), 3)
+    while n_points % tile:
+        tile //= 2
+    return max(tile, 8)
+
+
+def make_fused_residual_loss(
+    model,
+    pde,
+    *,
+    tile: Optional[int] = None,
+    interpret: bool = False,
+) -> Callable:
+    """Build ``fn(net_params, z) -> mean residual loss`` with a fused VJP.
+
+    ``net_params`` is the model's flax param tree; ``z`` is ``(N, dim+1)``.
+    The returned callable is differentiable w.r.t. ``net_params`` (custom
+    VJP backed by the same pallas call); the cotangent w.r.t. ``z`` is zero
+    (collocation coordinates are data, never trained through this path).
+    """
+    from jax.experimental import pallas as pl
+
+    spatial_order = max(pde.spatial_orders, default=0)
+    temporal_order = max(pde.temporal_orders, default=0)
+    shim = _numpy_shim(model)
+    # Pallas refuses captured non-scalar constants: the model's pinned
+    # Fourier basis and the input-affine lo/scale are threaded through the
+    # kernel as operands and re-injected into the shim at trace time.
+    const_tree = {
+        "c": shim.constants,
+        "lo": shim._in_lo.astype(np.float32),
+        "scale": shim._in_scale.astype(np.float32),
+    }
+    const_treedef = jax.tree_util.tree_structure(const_tree)
+    const_shapes = [np.asarray(l).shape for l in jax.tree_util.tree_leaves(const_tree)]
+    n_streams = 1 + pde.dimension * spatial_order + temporal_order
+    width = max([model.config.hidden_dims[0]]
+                + [2 * int(model.config.arch_params.get("mapping_size", 0))])
+
+    treedef = jax.tree_util.tree_structure(model.params)
+    leaf_shapes = [l.shape for l in jax.tree_util.tree_leaves(model.params)]
+
+    def _leaf2d(a):
+        return a.reshape(1, -1) if a.ndim == 1 else a
+
+    def _tile_loss(leaves2d, const_leaves2d, z_tile):
+        leaves = [
+            l.reshape(s) if l.shape != s else l
+            for l, s in zip(leaves2d, leaf_shapes)
+        ]
+        params = jax.tree_util.tree_unflatten(treedef, leaves)
+        cl = [
+            l.reshape(s) if l.shape != s else l
+            for l, s in zip(const_leaves2d, const_shapes)
+        ]
+        consts = jax.tree_util.tree_unflatten(const_treedef, cl)
+        shim.constants = consts["c"]
+        shim._in_lo, shim._in_scale = consts["lo"], consts["scale"]
+        bundle_fn = make_bundle_fn(
+            shim, pde.dimension, spatial_order=spatial_order,
+            temporal_order=temporal_order,
+        )
+        value, streams = bundle_fn(params, z_tile)
+
+        def point_res(val, st, zz):
+            return pde.residual_pointwise(BundleView(val, st), zz, None)
+
+        r = jax.vmap(point_res)(value, streams, z_tile)
+        return jnp.sum(r * r)
+
+    def _run(leaves2d, const_leaves2d, z):
+        n = z.shape[0]
+        t = tile or pick_tile(n, n_streams, width)
+        if n % t:
+            raise ValueError(f"batch {n} not divisible by tile {t}")
+        grid = n // t
+        n_leaves = len(leaves2d)
+        n_consts = len(const_leaves2d)
+
+        def kernel(*refs):
+            z_ref = refs[0]
+            leaf_refs = refs[1 : 1 + n_leaves]
+            const_refs = refs[1 + n_leaves : 1 + n_leaves + n_consts]
+            loss_ref = refs[1 + n_leaves + n_consts]
+            grad_refs = refs[2 + n_leaves + n_consts :]
+
+            leaves = [r[...] for r in leaf_refs]
+            cleaves = [r[...] for r in const_refs]
+            l, g = jax.value_and_grad(_tile_loss)(leaves, cleaves, z_ref[...])
+
+            @pl.when(pl.program_id(0) == 0)
+            def _init():
+                loss_ref[...] = jnp.zeros_like(loss_ref)
+                for gr in grad_refs:
+                    gr[...] = jnp.zeros_like(gr)
+
+            loss_ref[...] += l.reshape(1, 1)
+            for gr, gg in zip(grad_refs, g):
+                gr[...] += gg
+
+        out_shape = [jax.ShapeDtypeStruct((1, 1), jnp.float32)] + [
+            jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves2d
+        ]
+        in_specs = [pl.BlockSpec((t, z.shape[1]), lambda i: (i, 0))] + [
+            pl.BlockSpec(l.shape, lambda i: (0, 0))
+            for l in [*leaves2d, *const_leaves2d]
+        ]
+        out_specs = [pl.BlockSpec((1, 1), lambda i: (0, 0))] + [
+            pl.BlockSpec(l.shape, lambda i: (0, 0)) for l in leaves2d
+        ]
+        loss, *grads = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(z, *leaves2d, *const_leaves2d)
+        return loss[0, 0], grads
+
+    const_leaves2d_static = [
+        _leaf2d(jnp.asarray(np.asarray(l, dtype=np.float32)))
+        for l in jax.tree_util.tree_leaves(const_tree)
+    ]
+
+    @jax.custom_vjp
+    def fused_loss(net_params, z):
+        leaves2d = [_leaf2d(l) for l in jax.tree_util.tree_leaves(net_params)]
+        loss, _ = _run(leaves2d, const_leaves2d_static, z)
+        return loss / z.shape[0]
+
+    def fused_fwd(net_params, z):
+        leaves2d = [_leaf2d(l) for l in jax.tree_util.tree_leaves(net_params)]
+        loss, grads2d = _run(leaves2d, const_leaves2d_static, z)
+        grads = [
+            g.reshape(s) if g.shape != s else g
+            for g, s in zip(grads2d, leaf_shapes)
+        ]
+        inv_n = 1.0 / z.shape[0]
+        grad_tree = jax.tree_util.tree_unflatten(
+            treedef, [g * inv_n for g in grads]
+        )
+        return loss * inv_n, (grad_tree, jnp.zeros_like(z))
+
+    def fused_bwd(res, g):
+        grad_tree, z_zero = res
+        return jax.tree_util.tree_map(lambda x: x * g, grad_tree), z_zero
+
+    fused_loss.defvjp(fused_fwd, fused_bwd)
+    return fused_loss
+
+
+def supports(model, pde, training=None) -> bool:
+    """Gate: same structural conditions as the stacked-jet bundle, plus the
+    reductions the kernel hard-codes (plain MSE, no causal weighting, no
+    trainable PDE coefficients) and a TPU backend (XLA fallback otherwise —
+    the fused program targets Mosaic/VMEM)."""
+    from pinnrl_tpu.ops import jet_mlp
+
+    if not (pde.bundle_compatible and pde.system_size == 1
+            and jet_mlp.supports(model)):
+        return False
+    if getattr(pde, "trainable_parameters", None):
+        return False
+    if training is not None:
+        if getattr(training, "loss_function", "mse") != "mse":
+            return False
+        if float(getattr(training, "causal_eps", 0.0) or 0.0) > 0.0:
+            return False
+    return True
