@@ -103,19 +103,46 @@ def _train_one(
     seed: int,
     arch: str = "fourier",
     rar: Optional[Dict[str, float]] = None,
+    rl_variant: str = "coord",
 ) -> SamplingResult:
+    """``rl_variant`` (adaptive strategy only) — the round-4 probes for a
+    regime where LEARNING should beat static residual bias (VERDICT r3
+    next-step 4):
+
+    - "coord":   shipped baseline — Q(x, t), reward = -weighted losses.
+    - "resfeat": Q(x, t, log1p(|r|/mean|r|)) — the agent sees the SAME
+      residual signal RAR uses *plus* coordinates, so tuned RAR is a
+      special case of its hypothesis class; learning should dominate if
+      residual magnitude is not uniformly informative across the domain.
+    - "improve": reward = relative one-step decrease of the total loss
+      (learning PROGRESS, not loss magnitude) — targets learnable points
+      rather than merely high-residual ones.
+    - "resfeat_improve": both.
+    """
     cfg, model = _build_benchmark_model(pde_key, seed, arch=arch)
     cfg.training.collocation_distribution = strategy
     pde = create_pde(cfg)  # fresh PDE per strategy
     pde.attach_fast_bundle(model)  # stacked-jet residual path (trainer default)
 
+    use_resfeat = "resfeat" in rl_variant
+    use_improve = "improve" in rl_variant
+
     agent = None
     rl_state = ()
     if strategy == "adaptive":
         agent = RLAgent(
-            state_dim=cfg.model.input_dim, hidden_dim=64, memory_size=4096, batch_size=64
+            state_dim=cfg.model.input_dim + (1 if use_resfeat else 0),
+            hidden_dim=64, memory_size=4096, batch_size=64,
         )
         rl_state = agent.init(jax.random.PRNGKey(seed + 1))
+
+    def _res_feature(p, grid):
+        """Scale-free residual feature: log1p(|r| / mean|r|) over the set."""
+        r = pde.residual_score(
+            model.apply, p, grid[:, :-1], grid[:, -1:]
+        ).reshape(-1)
+        r = jnp.abs(r)
+        return jnp.log1p(r / (jnp.mean(r) + 1e-12))[:, None]
 
     # Cosine-annealed adam over the full horizon: a constant lr never gets
     # the steep-front problems out of their noise equilibrium (measured:
@@ -136,12 +163,17 @@ def _train_one(
             )
         if strategy == "adaptive":
             k1, k2 = jax.random.split(key)
-            sfn = lambda grid: agent.select_action(rl_st, grid, k1)
+            if use_resfeat:
+                sfn = lambda grid: agent.select_action(
+                    rl_st, jnp.concatenate([grid, _res_feature(p, grid)], -1), k1
+                )
+            else:
+                sfn = lambda grid: agent.select_action(rl_st, grid, k1)
             return pde.generate_collocation_points(k2, batch, strategy, score_fn=sfn)
         return pde.generate_collocation_points(key, batch, strategy)
 
     def step(carry, _):
-        params, opt_state, rl_st, key = carry
+        params, opt_state, rl_st, prev_loss, key = carry
         key, k_s, k_l, k_rl = jax.random.split(key, 4)
         x, t = sample(k_s, params, rl_st)
 
@@ -156,14 +188,26 @@ def _train_one(
             n = min(128, batch)
             res = pde.residual_score(model.apply, params, x[:n], t[:n])
             pts = jnp.concatenate([x[:n], t[:n]], axis=-1)
-            reward = agent.compute_reward(
-                res, losses["boundary"], losses["initial"]
-            )
+            if use_resfeat:
+                pts = jnp.concatenate([pts, _res_feature(params, pts)], -1)
+            if use_improve:
+                # Learning-progress reward: relative one-step decrease of
+                # the total loss caused by training on this batch, shared
+                # across its points (bandit credit; Q regresses toward
+                # E[progress | point]). Clipped — single steps are noisy.
+                reward = jnp.clip(
+                    (prev_loss - loss) / (prev_loss + 1e-9), -1.0, 1.0
+                )
+                reward = jnp.broadcast_to(reward, (n,))
+            else:
+                reward = agent.compute_reward(
+                    res, losses["boundary"], losses["initial"]
+                )
             # Bandit transitions (done=1) + one epsilon step per step
             # (this harness runs one batch step per epoch).
             rl_st = agent.update(rl_st, pts, reward, pts, jnp.ones(()), k_rl)
             rl_st = agent.update_epsilon(rl_st)
-        return (params, opt_state, rl_st, key), loss
+        return (params, opt_state, rl_st, loss, key), loss
 
     # Exactly `epochs` steps run: full fused chunks plus one remainder chunk
     # (epochs=250 previously ran 200 steps yet reported 250-step throughput).
@@ -179,7 +223,7 @@ def _train_one(
         return jax.lax.scan(step, carry, None, length=rem)
 
     key = jax.random.PRNGKey(seed)
-    carry = (params, opt_state, rl_state, key)
+    carry = (params, opt_state, rl_state, jnp.asarray(jnp.inf), key)
     # Warm-up compile outside the timed region.
     carry_w, _ = chunk(carry)
     if rem:
@@ -192,7 +236,7 @@ def _train_one(
         carry, losses_tail = chunk(carry)
     if rem:
         carry, losses_tail = rem_chunk(carry)
-    params, opt_state, rl_state, _ = carry
+    params, opt_state, rl_state, _, _ = carry
     loss = float(jax.block_until_ready(losses_tail)[-1])
     wall = time.perf_counter() - t0
 
@@ -201,7 +245,8 @@ def _train_one(
     return SamplingResult(
         pde=pde_key,
         architecture=arch,
-        strategy=strategy,
+        strategy=(strategy if rl_variant == "coord" or strategy != "adaptive"
+                  else f"adaptive[{rl_variant}]"),
         final_loss=loss,
         l2_error=ev["l2"],
         rel_l2=ev["rel_l2"],
@@ -226,16 +271,27 @@ def run_sampling_benchmark(
 
     ``rar`` optionally overrides the RAD hyper-parameters for the
     residual_based strategy (keys: pool_factor / uniform_floor / power).
+    A strategy entry "adaptive[<variant>]" selects an RL variant
+    (see ``_train_one``: resfeat / improve / resfeat_improve).
     """
     if pde not in PDE_CHOICES:
         raise ValueError(f"pde must be one of {PDE_CHOICES}, got {pde!r}")
     strategies = list(strategies or STRATEGIES)
+    parsed = []
     for s in strategies:
-        if s not in STRATEGIES:
+        variant = "coord"
+        base = s
+        if s.startswith("adaptive[") and s.endswith("]"):
+            base, variant = "adaptive", s[len("adaptive["):-1]
+        if base not in STRATEGIES:
             raise ValueError(f"Unknown strategy {s!r}; valid: {STRATEGIES}")
+        if variant not in ("coord", "resfeat", "improve", "resfeat_improve"):
+            raise ValueError(f"Unknown adaptive variant {variant!r}")
+        parsed.append((base, variant))
     return [
-        _train_one(pde, s, epochs, batch, lr, seed, arch=arch, rar=rar)
-        for s in strategies
+        _train_one(pde, s, epochs, batch, lr, seed, arch=arch, rar=rar,
+                   rl_variant=v)
+        for s, v in parsed
     ]
 
 

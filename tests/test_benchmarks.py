@@ -88,3 +88,23 @@ def test_heat_fdm_wrapper():
     fdm = HeatEquationFDM(pde, nx=21, nt=101, t_max=0.1)
     metrics = fdm.compare_with_pinn(model.apply, model.params)
     assert np.isfinite(metrics["fdm_vs_pinn_l2"])
+
+
+def test_adaptive_rl_variants_run_and_label():
+    """Round-4 DQN regime probes: resfeat / improve variants train and tag
+    their rows so paired studies can separate them (VERDICT r3 item 4)."""
+    rs = run_sampling_benchmark(
+        pde="heat",
+        strategies=["adaptive[resfeat]", "adaptive[improve]"],
+        epochs=3, batch=32, seed=0,
+    )
+    assert [r.strategy for r in rs] == ["adaptive[resfeat]", "adaptive[improve]"]
+    assert all(np.isfinite(r.final_loss) for r in rs)
+
+
+def test_adaptive_unknown_variant_raises():
+    import pytest
+
+    with pytest.raises(ValueError, match="variant"):
+        run_sampling_benchmark(pde="heat", strategies=["adaptive[bogus]"],
+                               epochs=2, batch=32)
