@@ -215,17 +215,16 @@ def make_bundle_fn(
     groups = [(ax, k) for ax, k in groups if k > 0]
 
     def _net_direction(axis: int) -> jax.Array:
-        # Built in numpy: `axis` is static, and a host-side constant avoids
-        # a scatter op (which Mosaic cannot lower when this bundle runs
-        # inside the fused Pallas kernel, ops/kernels/fused_step.py).
-        import numpy as np
-
-        v = np.zeros((in_dim,), np.float32)
-        v[axis] = 1.0
+        # (1, in_dim) one-hot built from broadcasted_iota + where: `axis` is
+        # static, and primitive-created constants (unlike captured numpy
+        # arrays or scatters) lower inside the fused Pallas kernel
+        # (ops/kernels/fused_step.py) as well as under plain XLA.
+        idx = jax.lax.broadcasted_iota(jnp.int32, (1, in_dim), 1)
+        v = jnp.where(idx == axis, 1.0, 0.0)
         if frame_speed is not None and axis == dimension:
             # d/dt of (x - c t, t): every spatial column picks up -c.
-            v[:dimension] = -frame_speed
-        return jnp.asarray(v) * in_scale
+            v = jnp.where(idx < dimension, -frame_speed, v)
+        return v * in_scale
 
     is_fourier = cfg.architecture == "fourier"
 

@@ -99,6 +99,9 @@ class PDEBase:
         # (params, z) -> (value, streams) evaluator attached by
         # ``attach_fast_bundle`` once the model is known.
         self._fast_bundle_fn = None
+        # Fused fwd+bwd Pallas residual-loss kernel (TPU only), attached by
+        # ``attach_fused_residual_kernel``.
+        self._fused_residual_loss = None
         self._validate_parameters()
 
     # ------------------------------------------------------------------ #
@@ -242,6 +245,37 @@ class PDEBase:
             spatial_order=max(self.spatial_orders, default=0),
             temporal_order=max(self.temporal_orders, default=0),
         )
+        return True
+
+    def attach_fused_residual_kernel(self, model, enable: str | bool = "auto") -> bool:
+        """Attach the fused forward+backward Pallas residual-loss kernel
+        (ops/kernels/fused_step.py): one VMEM-resident program computes the
+        mean-square residual AND its parameter gradient per batch tile, so
+        the stacked-stream activations never round-trip HBM between forward
+        and backward. TPU backend only; ``compute_loss`` falls back to the
+        XLA path off-TPU, for non-f32 params (the f64 polish phase), or for
+        batches not divisible by 8."""
+        import jax as _jax
+
+        from pinnrl_tpu.ops.kernels import fused_step
+
+        if enable in (False, "off", "false"):
+            self._fused_residual_loss = None
+            return False
+        ok = (
+            _jax.default_backend() in ("tpu", "axon")
+            and fused_step.supports(model, self, self.training)
+        )
+        if not ok:
+            if enable is True or enable == "on":
+                raise ValueError(
+                    "fused residual kernel requested but unsupported for "
+                    f"pde={self.pde_type}, arch={model.config.architecture}, "
+                    f"backend={_jax.default_backend()}"
+                )
+            self._fused_residual_loss = None
+            return False
+        self._fused_residual_loss = fused_step.make_fused_residual_loss(model, self)
         return True
 
     def _scalar_u(self, apply_fn: Callable, params) -> PointFn:
@@ -872,8 +906,24 @@ class PDEBase:
         """
         key = key if key is not None else jax.random.PRNGKey(0)
         k_b, k_i = jax.random.split(jax.random.fold_in(key, 0xB0), 2)
-        residual = self.compute_residual(apply_fn, params, x, t, coeffs)
-        residual_loss = self._residual_loss(residual, t)
+        use_fused = (
+            self._fused_residual_loss is not None
+            and x.dtype == jnp.float32
+            and x.shape[0] % 8 == 0
+            and all(
+                l.dtype == jnp.float32
+                for l in jax.tree_util.tree_leaves(params)
+            )
+        )
+        if use_fused:
+            # Fused fwd+bwd Pallas kernel: mean(r^2) + its parameter
+            # gradient in one VMEM-resident program (attach gate already
+            # excluded causal weighting / non-mse / trainable coeffs).
+            z = jnp.concatenate([x, t], axis=-1)
+            residual_loss = self._fused_residual_loss(params, z)
+        else:
+            residual = self.compute_residual(apply_fn, params, x, t, coeffs)
+            residual_loss = self._residual_loss(residual, t)
 
         n_b, n_i = self._bc_counts(x.shape[0])
         boundary_loss = self._boundary_loss(apply_fn, params, k_b, n_b)

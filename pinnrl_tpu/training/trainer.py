@@ -85,6 +85,13 @@ class PDETrainer:
         self.fast_bundle_active = pde.attach_fast_bundle(
             model, enable=self.tcfg.get("stacked_jet", "auto")
         )
+        # Fused fwd+bwd Pallas residual-loss kernel (TPU only): the residual
+        # term's forward AND backward run in one VMEM-resident program per
+        # batch tile (ops/kernels/fused_step.py). Auto-gated off for causal
+        # weighting, non-mse losses, inverse mode, or off-TPU backends.
+        self.fused_kernel_active = pde.attach_fused_residual_kernel(
+            model, enable=self.tcfg.get("fused_residual_kernel", "auto")
+        )
 
         self.optimizer_name = self.tcfg.optimizer
         self._ema_decay = float(getattr(self.tcfg, "param_ema", 0.0))
