@@ -138,7 +138,12 @@ def make_fused_residual_loss(
             return pde.residual_pointwise(BundleView(val, st), zz, None)
 
         r = jax.vmap(point_res)(value, streams, z_tile)
-        return jnp.sum(r * r)
+        # Sum-of-squares as a (1, N) @ (N, 1) matmul: Mosaic cannot lower
+        # the 1D multi_reduction layout a plain jnp.sum(r * r) produces
+        # ("Not implemented: Offset change"); the rank-2 dot lowers cleanly
+        # and its transpose (a broadcast matmul) does too.
+        rr = (r * r).reshape(1, -1)
+        return rr @ jnp.ones((rr.shape[1], 1), rr.dtype)
 
     def _run(leaves2d, const_leaves2d, z):
         n = z.shape[0]
@@ -158,7 +163,12 @@ def make_fused_residual_loss(
 
             leaves = [r[...] for r in leaf_refs]
             cleaves = [r[...] for r in const_refs]
-            l, g = jax.value_and_grad(_tile_loss)(leaves, cleaves, z_ref[...])
+            # jax.vjp with a (1, 1) cotangent: value_and_grad would force a
+            # rank-0 loss, whose Mosaic layout cannot be reduced into.
+            l11, vjp = jax.vjp(
+                lambda lv: _tile_loss(lv, cleaves, z_ref[...]), leaves
+            )
+            (g,) = vjp(jnp.ones((1, 1), jnp.float32))
 
             @pl.when(pl.program_id(0) == 0)
             def _init():
@@ -166,7 +176,7 @@ def make_fused_residual_loss(
                 for gr in grad_refs:
                     gr[...] = jnp.zeros_like(gr)
 
-            loss_ref[...] += l.reshape(1, 1)
+            loss_ref[...] += l11
             for gr, gg in zip(grad_refs, g):
                 gr[...] += gg
 

@@ -14,13 +14,23 @@ from pathlib import Path
 OUT = Path(__file__).resolve().parent.parent / "notebooks"
 
 
+_CELL_N = [0]
+
+
+def _cid() -> str:
+    _CELL_N[0] += 1
+    return f"cell-{_CELL_N[0]:03d}"
+
+
 def md(src: str) -> dict:
-    return {"cell_type": "markdown", "metadata": {}, "source": src.splitlines(keepends=True)}
+    return {"cell_type": "markdown", "id": _cid(), "metadata": {},
+            "source": src.splitlines(keepends=True)}
 
 
 def code(src: str) -> dict:
     return {
-        "cell_type": "code", "metadata": {}, "execution_count": None,
+        "cell_type": "code", "id": _cid(), "metadata": {},
+        "execution_count": None,
         "outputs": [], "source": src.splitlines(keepends=True),
     }
 
@@ -345,7 +355,7 @@ from pinnrl_tpu.datasets.synthetic import ensure_synthetic_well_cache
 print(jax.default_backend())
 for name in list_dataset_names():
     e = get_entry(name)
-    print(f"{name:28s} dim={e.dimension} fields={e.field_names}")"""),
+    print(f"{name:28s} dims={e.n_spatial_dims} fields={e.fields}")"""),
     md("## Load a slice (synthetic cache → identical loader path)"),
     code("""ensure_synthetic_well_cache("synthetic_heat_2d", split="train",
                             n_traj=1, n_points=8192, seed=0)
@@ -371,7 +381,7 @@ cfg.model.hidden_dims = [64, 64, 64]
 cfg.model.arch_params["mapping_size"] = 64
 t = cfg.training
 t.mode = "data_only"
-t.num_epochs = 400
+t.num_epochs = 2000
 t.batch_size = 1024
 t.num_collocation_points = 4096
 t.validation_frequency = 50
