@@ -376,15 +376,23 @@ from pinnrl_tpu.models import PINNModel
 from pinnrl_tpu.pdes import create_pde
 from pinnrl_tpu.training import PDETrainer
 
-cfg = load_config(pde_type="heat_2d", architecture="fourier")
-cfg.model.hidden_dims = [64, 64, 64]
-cfg.model.arch_params["mapping_size"] = 64
+entry = get_entry("synthetic_heat_2d")
+cfg = load_config(pde_type=entry.default_pde_key or "heat",
+                  architecture=entry.default_architecture)
+# Registry-defaults overlay — the same contract `pinnrl-train --dataset`
+# applies (training/train.py:140-158): the model must be posed on the
+# DATASET's domain, not the PDE config block's.
+cfg.pde.dimension = entry.n_spatial_dims
+cfg.pde.domain = [list(d) for d in entry.domain]
+cfg.pde.time_domain = list(entry.time_domain)
+cfg.model.input_dim = entry.default_input_dim
+cfg.model.output_dim = entry.default_output_dim
 t = cfg.training
-t.mode = "data_only"
+t.mode = entry.recommended_mode
 t.num_epochs = 2000
 t.batch_size = 1024
-t.num_collocation_points = 4096
-t.validation_frequency = 50
+t.num_collocation_points = 8192
+t.validation_frequency = 200
 
 pde = create_pde(cfg)
 pde.set_observations(train["x"], train["t"], train["u"])
