@@ -236,7 +236,14 @@ def supports(model, pde, training=None) -> bool:
     """Gate: same structural conditions as the stacked-jet bundle, plus the
     reductions the kernel hard-codes (plain MSE, no causal weighting, no
     trainable PDE coefficients) and a TPU backend (XLA fallback otherwise —
-    the fused program targets Mosaic/VMEM)."""
+    the fused program targets Mosaic/VMEM).
+
+    Width gate (measured, docs/performance.md round 4): the kernel wins
+    only where the XLA step is genuinely HBM-bound — 1.28x at 256-wide
+    trunks (3.28 -> 2.55 ms/step, batch 8192) but 0.73x at 64-wide, where
+    the VMEM cap forces small batch tiles whose 64-lane matmuls underfill
+    the MXU while XLA's fusion already keeps the working set on-chip. Auto
+    mode therefore requires every matmul in the trunk to be >= 128 wide."""
     from pinnrl_tpu.ops import jet_mlp
 
     if not (pde.bundle_compatible and pde.system_size == 1
@@ -249,4 +256,10 @@ def supports(model, pde, training=None) -> bool:
             return False
         if float(getattr(training, "causal_eps", 0.0) or 0.0) > 0.0:
             return False
+    widths = list(model.config.hidden_dims)
+    m = int(model.config.arch_params.get("mapping_size", 0))
+    if m:
+        widths.append(2 * m)
+    if min(widths) < 128:
+        return False
     return True

@@ -121,3 +121,30 @@ def test_kernel_jvp_inside_pde_residual_orders():
     got = directional_derivative(u, z0, 0, 4)
     for k in range(4):
         np.testing.assert_allclose(float(got[k]), expect[k], rtol=1e-3, atol=1e-3)
+
+
+def test_fused_step_supports_width_gate():
+    """Auto mode attaches the fused fwd+bwd kernel only for >=128-wide
+    trunks (measured 1.28x win at 256-wide, 0.73x LOSS at 64-wide —
+    docs/performance.md round 4). CPU-runnable: supports() is pure logic
+    except the backend check, which attach (not supports) performs."""
+    import jax
+
+    from pinnrl_tpu.config import load_config
+    from pinnrl_tpu.models import PINNModel
+    from pinnrl_tpu.ops.kernels import fused_step
+    from pinnrl_tpu.pdes import create_pde
+
+    def build(hidden, mapping):
+        cfg = load_config(pde_type="burgers", architecture="fourier")
+        cfg.model.hidden_dims = hidden
+        cfg.model.arch_params["mapping_size"] = mapping
+        return PINNModel(cfg, seed=0), create_pde(cfg), cfg
+
+    m, p, c = build([256, 256, 256], 128)
+    assert fused_step.supports(m, p, c.training)
+    m, p, c = build([64, 64, 64], 32)
+    assert not fused_step.supports(m, p, c.training)   # narrow: measured loss
+    m, p, c = build([256, 256], 128)
+    c.training.causal_eps = 1.0
+    assert not fused_step.supports(m, p, c.training)   # causal weighting

@@ -135,7 +135,9 @@ def test_fused_residual_loss_matches_xla_path():
     pde = create_pde(cfg)
     model = PINNModel(cfg, seed=0)
     pde.attach_fast_bundle(model)
-    assert fused_step.supports(model, pde, cfg.training)
+    # Built directly: auto mode's width gate excludes this 64-wide config
+    # for PERF reasons (0.73x, docs/performance.md) — numerics are width-
+    # independent, and this shape's Mosaic compile is already cached.
     fused = fused_step.make_fused_residual_loss(model, pde)
 
     x, t = pde.generate_collocation_points(jax.random.PRNGKey(4), 1024)
