@@ -37,7 +37,7 @@ def main() -> int:
         nb = nbformat.read(path, as_version=4)
         if force_cpu:
             nb.cells.insert(0, nbformat.v4.new_code_cell(_CPU_BOOT))
-        client = NotebookClient(nb, timeout=1800, kernel_name="python3",
+        client = NotebookClient(nb, timeout=3600, kernel_name="python3",
                                 resources={"metadata": {"path": str(ROOT)}})
         try:
             client.execute()
