@@ -262,4 +262,14 @@ def supports(model, pde, training=None) -> bool:
         widths.append(2 * m)
     if min(widths) < 128:
         return False
+    # Measured scope: the VMEM live-set estimate behind pick_tile was
+    # calibrated on <=2nd-order spatial / 1st-order temporal streams
+    # (heat/Burgers class). Deeper jets (KdV's 3rd, CH's 4th order) carry
+    # more simultaneously-live streams per tile and have not been sized on
+    # hardware — auto mode stays within measurement; use
+    # attach_fused_residual_kernel(model, enable="on") to opt in.
+    if max(pde.spatial_orders, default=0) > 2:
+        return False
+    if max(pde.temporal_orders, default=0) > 1:
+        return False
     return True
