@@ -9,6 +9,8 @@ pairs strategies per (pde, seed), and reports per-PDE:
     made the 6-seed round-2 comparison inconclusive.
 
     python scripts/sampling_stats.py benchmark_results/sampling_r3.csv
+    python scripts/sampling_stats.py benchmark_results/sampling_r4.csv \
+        --baseline residual_based     # round-4 DQN-variant studies
 """
 
 from __future__ import annotations
@@ -34,7 +36,7 @@ def bootstrap_ci(xs, stat, n_boot=20000, alpha=0.05, seed=7):
     return lo, hi
 
 
-def analyze(path: str) -> str:
+def analyze(path: str, baseline: str = "uniform") -> str:
     rows = list(csv.DictReader(open(path)))
     out = []
     by_pde = defaultdict(list)
@@ -60,13 +62,13 @@ def analyze(path: str) -> str:
             out.append(
                 f"{s:<16} {gm:10.3e} [{lo:9.3e},{hi:9.3e}] {max(xs):10.3e}"
             )
-        if "uniform" in strategies:
-            out.append(f"\n{'paired vs uniform':<16}  ratio of geomeans [95% CI]  wins/losses")
+        if baseline in strategies:
+            out.append(f"\n{'paired vs ' + baseline:<16}  ratio of geomeans [95% CI]  wins/losses")
             for s in strategies:
-                if s == "uniform":
+                if s == baseline:
                     continue
                 logr = [
-                    math.log(cell[(s, sd)] / cell[("uniform", sd)])
+                    math.log(cell[(s, sd)] / cell[(baseline, sd)])
                     for sd in complete
                 ]
                 ratio = math.exp(sum(logr) / len(logr))
@@ -83,4 +85,10 @@ def analyze(path: str) -> str:
 
 
 if __name__ == "__main__":
-    print(analyze(sys.argv[1]))
+    args = sys.argv[1:]
+    baseline = "uniform"
+    if "--baseline" in args:
+        i = args.index("--baseline")
+        baseline = args[i + 1]
+        del args[i : i + 2]
+    print(analyze(args[0], baseline=baseline))
