@@ -11,9 +11,10 @@ so that round trip IS the step time. This kernel computes
 in ONE ``pallas_call``: a sequential grid over batch tiles where each tile
 runs the full stacked-jet forward (ops/jet_mlp.py, pure-jnp tanh/LN
 transport), the PDE's residual arithmetic, and the reverse pass — all traced
-by ``jax.value_and_grad`` *inside the kernel body*, so every intermediate
-lives in VMEM/registers and nothing but weights, coordinates, and the
-accumulated gradients ever touches HBM.
+by ``jax.vjp`` *inside the kernel body* (with a (1, 1) cotangent; a rank-0
+loss has no reducible Mosaic layout), so every intermediate lives in
+VMEM/registers and nothing but weights, coordinates, and the accumulated
+gradients ever touches HBM.
 
 Exposed through ``PDEBase.attach_fused_residual_kernel`` and gated exactly
 like the other Pallas kernels (TPU backend only; XLA fallback elsewhere).
