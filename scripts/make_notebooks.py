@@ -275,7 +275,7 @@ for ax, (s, r) in zip(axes, runs.items()):
                                                residual_fn=res_fn)
     elif s == "adaptive":
         agent = r["trainer"].rl_agent
-        rl_state = r["trainer"]._final_state.get("rl_state")
+        rl_state = r["trainer"]._final_state["rl"]
         k1, k2 = jax.random.split(key)
         x, t = pde.generate_collocation_points(
             k2, 2048, "adaptive", score_fn=agent.score_fn(rl_state, k1))
