@@ -61,3 +61,21 @@ def test_gridded_operator_benchmark_learns():
     # trivial identity baseline by a wide margin at 100 epochs.
     assert r.test_rel_l2 < 0.2
     assert np.isfinite(r.final_train_loss)
+
+
+@pytest.mark.slow
+def test_gridded_operator_transfer_rows():
+    """--transfer returns [primary, transfer@res] rows; the spectral conv
+    evaluates trained params zero-shot on finer grids (round-4 FNO bar)."""
+    from pinnrl_tpu.benchmarks.operator import run_gridded_operator_benchmark
+
+    out = run_gridded_operator_benchmark(
+        epochs=100, width=16, modes=8, num_blocks=2,
+        transfer_resolutions=(64,),
+    )
+    assert isinstance(out, list) and len(out) == 2
+    primary, transfer = out
+    assert "transfer64" in transfer.dataset
+    assert np.isfinite(transfer.test_rel_l2)
+    # Transfer error should stay the same order of magnitude as native-res.
+    assert transfer.test_rel_l2 < max(10 * primary.test_rel_l2, 0.5)
