@@ -195,10 +195,12 @@ def _train_one(
                 # the total loss caused by training on this batch, shared
                 # across its points (bandit credit; Q regresses toward
                 # E[progress | point]). Clipped — single steps are noisy.
-                reward = jnp.clip(
-                    (prev_loss - loss) / (prev_loss + 1e-9), -1.0, 1.0
+                # First step (prev_loss sentinel 0) gets reward 0, not
+                # inf/inf = NaN, which would poison the replay buffer.
+                rel = jnp.clip((prev_loss - loss) / (prev_loss + 1e-9), -1.0, 1.0)
+                reward = jnp.broadcast_to(
+                    jnp.where(prev_loss > 0, rel, 0.0), (n,)
                 )
-                reward = jnp.broadcast_to(reward, (n,))
             else:
                 reward = agent.compute_reward(
                     res, losses["boundary"], losses["initial"]
@@ -223,7 +225,7 @@ def _train_one(
         return jax.lax.scan(step, carry, None, length=rem)
 
     key = jax.random.PRNGKey(seed)
-    carry = (params, opt_state, rl_state, jnp.asarray(jnp.inf), key)
+    carry = (params, opt_state, rl_state, jnp.asarray(0.0), key)
     # Warm-up compile outside the timed region.
     carry_w, _ = chunk(carry)
     if rem:
