@@ -31,7 +31,10 @@ def test_mass_term_present_and_positive(setup):
     L0 = dict(L)
     cfg2 = build_recipe_config("cahn_hilliard_dynamics")
     cfg2.pde.exact_solution.update({"nx": 64, "dt": 5e-3, "n_save": 16})
-    pde2 = create_pde(cfg2)  # mass weight 0 by default
+    # The round-4 shipping recipe carries loss_weights.mass=100 by default;
+    # zero it explicitly for the no-mass control.
+    cfg2.training.loss_weights["mass"] = 0.0
+    pde2 = create_pde(cfg2)
     L2 = pde2.compute_loss(model.apply, model.params, x, t, key=jax.random.PRNGKey(1))
     assert "mass" not in L2
     assert float(L0["total"]) > float(L2["total"])
