@@ -87,7 +87,7 @@ minutes; the shipped benchmark recipes (`pinnrl_tpu/benchmarks/convergence.py`)
 are the converged versions of the winner."""),
     code("""ARCHES = ["feedforward", "resnet", "siren", "fourier", "fno",
           "attention", "autoencoder"]
-EPOCHS = 600
+EPOCHS = 400  # small on purpose: the full 7-arch sweep must fit one CPU cell
 
 results = {}
 for arch in ARCHES:
@@ -96,8 +96,8 @@ for arch in ARCHES:
     cfg.model.arch_params.setdefault("mapping_size", 64)
     t = cfg.training
     t.num_epochs = EPOCHS
-    t.num_collocation_points = 4096
-    t.batch_size = 1024
+    t.num_collocation_points = 2048
+    t.batch_size = 512
     t.validation_frequency = max(EPOCHS // 10, 1)
     pde = create_pde(cfg)
     model = PINNModel(cfg, seed=0)
@@ -229,10 +229,10 @@ def make_cfg(strategy):
     t.num_epochs = EPOCHS
     t.num_collocation_points = 4096
     t.batch_size = 1024
-    t.sampling_strategy = strategy
+    t.collocation_distribution = strategy
     t.validation_frequency = max(EPOCHS // 10, 1)
     if strategy == "adaptive":
-        t.rl.enabled = True
+        cfg.rl.enabled = True
     return cfg
 
 runs = {}
