@@ -5,7 +5,7 @@ cd /root/repo
 while pgrep -f "r4_queue2.sh" > /dev/null; do sleep 60; done
 
 echo "=== on-TPU Pallas parity tests ==="
-timeout 2400 python -m pytest tests/test_pallas_parity_tpu.py -q
+PINNRL_TPU_TESTS=1 timeout 2400 python -m pytest tests/test_pallas_parity_tpu.py -q
 
 echo "=== gridded FNO 3 seeds + transfer 96 ==="
 for s in 0 1 2; do

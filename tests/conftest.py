@@ -9,16 +9,21 @@ import os
 
 # Must be set before jax initializes its backends. Note: this environment may
 # pre-set JAX_PLATFORMS to a TPU plugin; jax.config.update overrides reliably.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# PINNRL_TPU_TESTS=1 skips the CPU pin so the on-hardware kernel-parity tier
+# (tests/test_pallas_parity_tpu.py) can see the real TPU backend.
+_ON_TPU = os.environ.get("PINNRL_TPU_TESTS") == "1"
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not _ON_TPU and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 
