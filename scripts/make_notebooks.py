@@ -87,7 +87,7 @@ minutes; the shipped benchmark recipes (`pinnrl_tpu/benchmarks/convergence.py`)
 are the converged versions of the winner."""),
     code("""ARCHES = ["feedforward", "resnet", "siren", "fourier", "fno",
           "attention", "autoencoder"]
-EPOCHS = 400  # small on purpose: the full 7-arch sweep must fit one CPU cell
+EPOCHS = 2000  # full sweep sized for a TPU; on CPU drop to ~400
 
 results = {}
 for arch in ARCHES:
@@ -121,7 +121,7 @@ for arch in ARCHES:
     md("## Loss curves"),
     code("""fig, ax = plt.subplots(figsize=(8, 4.5))
 for arch, r in results.items():
-    ax.semilogy(r["history"]["loss"], label=arch, lw=1.2)
+    ax.semilogy(r["history"]["train_loss"], label=arch, lw=1.2)
 ax.set_xlabel("epoch"); ax.set_ylabel("total loss")
 ax.legend(ncol=2, fontsize=8); ax.set_title("Training loss by architecture")
 plt.tight_layout(); plt.show()"""),
@@ -217,7 +217,7 @@ from pinnrl_tpu.training import PDETrainer
 
 print(jax.default_backend(), jax.devices())"""),
     md("## One sharp-front problem, three samplers"),
-    code("""EPOCHS = 800
+    code("""EPOCHS = 6000
 STRATEGIES = ["uniform", "residual_based", "adaptive"]
 
 def make_cfg(strategy):
@@ -256,7 +256,7 @@ for strategy in STRATEGIES:
     md("## Loss curves"),
     code("""fig, ax = plt.subplots(figsize=(8, 4.5))
 for s, r in runs.items():
-    ax.semilogy(r["history"]["loss"], label=s, lw=1.2)
+    ax.semilogy(r["history"]["train_loss"], label=s, lw=1.2)
 ax.set_xlabel("epoch"); ax.set_ylabel("total loss"); ax.legend()
 ax.set_title("Sharp-front Burgers (nu = 0.004): sampling strategies")
 plt.tight_layout(); plt.show()"""),
