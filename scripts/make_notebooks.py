@@ -89,9 +89,22 @@ are the converged versions of the winner."""),
           "attention", "autoencoder"]
 EPOCHS = 2000  # full sweep sized for a TPU; on CPU drop to ~400
 
+from pinnrl_tpu.benchmarks.convergence import RECIPES
+
+def pose_burgers(cfg):
+    # Overlay the benchmark recipe's PDE block (tanh traveling wave):
+    # the raw config block's target is ill-posed for residual training —
+    # same overlay the sampling harness applies (benchmarks/sampling.py).
+    for k, v in (RECIPES["burgers"].get("pde") or {}).items():
+        if k == "parameters":
+            cfg.pde.parameters.update(v)
+        else:
+            setattr(cfg.pde, k, v)
+
 results = {}
 for arch in ARCHES:
     cfg = load_config(pde_type="burgers", architecture=arch)
+    pose_burgers(cfg)
     cfg.model.hidden_dims = [64, 64, 64]
     cfg.model.arch_params.setdefault("mapping_size", 64)
     t = cfg.training
@@ -142,6 +155,7 @@ for a in order:
 
 best = order[:2]
 cfg = load_config(pde_type="burgers", architecture="fourier")
+pose_burgers(cfg)
 pde = create_pde(cfg)
 x = np.linspace(*cfg.pde.domain[0], 400).reshape(-1, 1)
 t_mid = np.full_like(x, 0.5)
@@ -220,8 +234,17 @@ print(jax.default_backend(), jax.devices())"""),
     code("""EPOCHS = 6000
 STRATEGIES = ["uniform", "residual_based", "adaptive"]
 
+from pinnrl_tpu.benchmarks.convergence import RECIPES
+
 def make_cfg(strategy):
     cfg = load_config(pde_type="burgers", architecture="fourier")
+    # Pose on the recipe's traveling-wave target (see sampling harness),
+    # then sharpen the front.
+    for k, v in (RECIPES["burgers"].get("pde") or {}).items():
+        if k == "parameters":
+            cfg.pde.parameters.update(v)
+        else:
+            setattr(cfg.pde, k, v)
     cfg.pde.parameters["nu"] = 0.004          # sharp front
     cfg.model.hidden_dims = [64, 64, 64]
     cfg.model.arch_params["mapping_size"] = 64
