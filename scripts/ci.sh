@@ -2,7 +2,9 @@
 # Runner-agnostic CI gate (invoked by .github/workflows/checks.yml and
 # runnable directly by the build driver). Tiers:
 #   lint  — byte-compile every source + import the package
-#   fast  — the per-change test tier: everything not marked slow (<10 min)
+#   fast  — the per-change test tier: everything not marked slow.
+#           Budget <10 min: measured 10m11s WALL on this 1-CPU host under
+#           concurrent TPU-study load (round 4, 2026-08-21), ~9 min quiet.
 #   full  — the nightly tier: whole suite under the sys.monitoring coverage
 #           collector, then enforce the >=80% gate
 #           (reference: .github/workflows/checks.yml:10-38)
