@@ -174,18 +174,22 @@ ax.set_title("Burgers front at t = 0.5: top-2 architectures vs exact")
 plt.tight_layout(); plt.show()"""),
     md("""## What to take away
 
-- **Fourier features win on Burgers** at equal budget: the steep front is a
-  high-frequency feature and the trainable-amplitude sinusoidal basis
-  removes the MLP's spectral bias. This matches the shipped benchmark
-  recipes, which use the `fourier` trunk for every hard PDE.
-- **SIREN is the usual runner-up** — same idea (sinusoids), but frequencies
-  are learned from init rather than pinned, so it is seed-sensitive.
-- **`fno` / `attention` / `autoencoder` are data-mode architectures**: they
-  shine on gridded field-to-field regression (see the Well quickstart
-  notebook), not on point-wise residual training.
-- Wall-clock differences at this size are dominated by whether the
-  stacked-jet fast path attached (one matmul per layer for ALL derivative
-  streams) — see `docs/performance.md` for the roofline analysis.
+- **At this modest budget the ranking is tighter than folklore suggests**:
+  the executed run above shows `fno`, `resnet`, `siren` and `feedforward`
+  all reaching a few-1e-4 rel-L2 on the recipe-posed traveling wave, with
+  `fourier` mid-pack — the *pinned-basis* Fourier configs that win the
+  shipped benchmark recipes use tuned per-PDE `scale`/`mapping_size`
+  (see `pinnrl_tpu/benchmarks/convergence.py`), not the defaults used
+  here. Basis tuning, not architecture, is the first-order lever.
+- **`attention` / `autoencoder` trail badly in residual training** — they
+  are data-mode architectures (gridded field regression; see the Well
+  quickstart notebook), not point-wise PINN trunks.
+- Wall-clock differences are dominated by whether the stacked-jet fast
+  path attached (`fast-path=True`: all derivative streams ride one matmul
+  per layer) and by per-architecture compile costs — see
+  `docs/performance.md` for the roofline analysis.
+- For converged per-PDE results (all < 1e-3 on 3 seeds) use the shipped
+  recipes: `python -m pinnrl_tpu.benchmarks.cli convergence --pde ...`.
 """),
 ]
 
