@@ -334,24 +334,29 @@ for ax, (s, r) in zip(axes, runs.items()):
 axes[0].set_ylabel("x")
 fig.colorbar(ims[-1], ax=axes, label="|error|", shrink=0.85)
 plt.show()"""),
-    md("""## When does RL help?
+    md("""## When does RL help? (and an honest note on this run)
 
-The measured answer from the 20-seed paired studies
-(`benchmark_results/sampling_r3.csv`, geometric-mean error ratio vs
-uniform, bracket = 95% CI):
+**Note on the numbers above:** at this notebook's budget (a 64-wide net,
+one batch per epoch) the ν = 0.004 front is *under-resolved for every
+strategy* — rel-L2 stays O(1). That is precisely why this regime
+discriminates samplers in the tracked studies: they measure the paired
+**ratio** between strategies over 20 seeds at 10k steps, not absolute
+convergence. A single notebook run is illustrative, not evidence.
 
-- **Sharp front (this problem):** RAR 0.81, RL-adaptive 0.84 — both beat
-  uniform; they are statistically indistinguishable from each other.
-- **KdV (dispersive, long horizon):** RAR 0.79 [0.64, 0.98] — the clearest
-  adaptivity win.
-- **Easy, well-resolved fronts:** residual bias *hurts* (ratio ≈ 1.28
-  against); uniform is the right default there.
+The measured answers from the paired studies
+(`benchmark_results/sampling_r3.csv`, `sampling_r4.csv`, analysis in
+`benchmark_results/README.md`):
 
-One 1-seed notebook run is *illustrative, not evidence* — the tracked CSVs
-are the claim of record. The honest current summary: the learned scorer
-**tracks tuned RAR, it does not yet beat it**; the regime probes in
-`benchmark_results/README.md` (round 4) test settings designed to separate
-them.
+- **KdV (dispersive, long horizon):** RAR 0.79 [0.64, 0.98] vs uniform —
+  the clearest adaptivity win.
+- **Sharp front:** RAR ≈ 0.81, RL-adaptive ≈ 0.84 vs uniform — both beat
+  uniform, statistically indistinguishable from each other.
+- **Easy, well-resolved fronts:** residual bias *hurts* (≈1.28 against);
+  uniform is the right default.
+- **Round 4** handed the DQN strictly more information than RAR
+  (residual-as-feature variant) and a learning-progress reward: neither
+  beats tuned RAR — the full conclusion and recommendation table live in
+  `benchmark_results/README.md`.
 """),
 ]
 
