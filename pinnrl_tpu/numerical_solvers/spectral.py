@@ -203,14 +203,12 @@ def build_phase_field_reference(kind: str, settings, eps: float) -> SpectralResu
     if settings.dimension != 1:
         raise ValueError("spectral phase-field reference supports 1D only")
     x_min, x_max = settings.domain[0]
-    if float(settings.time_domain[0]) != 0.0:
-        # The solver integrates [0, t_end] and interp_trajectory maps
-        # t_query/t_end; a nonzero start would silently time-shift the
-        # reference rather than translating it (advisor round-3 finding).
-        raise ValueError(
-            "spectral exact_solution requires time_domain[0] == 0.0 "
-            f"(got {settings.time_domain[0]})"
-        )
+    # Semantics for nonzero time_domain[0] (advisor round-3 finding made
+    # precise in round 4): the configured ``ic_modes`` define the field at
+    # ABSOLUTE t = 0, the solver integrates [0, time_domain[1]], and
+    # ``interp_trajectory`` maps ABSOLUTE t/t_end into it. A window config
+    # [t_k, t_hi] (time-marching) therefore gets the true global reference
+    # restricted to its window — never a time-shifted one.
     t_end = float(settings.time_domain[1])
     modes = tuple(
         (int(n), float(a))
