@@ -162,12 +162,16 @@ def _operator_command(args) -> int:
         run_operator_benchmark,
     )
 
+    if args.transfer is not None and not args.gridded:
+        raise SystemExit(
+            "pinnrl-benchmark operator: --transfer requires --gridded "
+            "(resolution transfer is a property of the gridded FNO only)"
+        )
     if args.gridded:
-        out = run_gridded_operator_benchmark(
+        results = run_gridded_operator_benchmark(
             dataset=args.dataset, epochs=args.epochs, seed=args.seed,
             transfer_resolutions=tuple(args.transfer or ()),
         )
-        results = out if isinstance(out, list) else [out]
     else:
         results = [run_operator_benchmark(
             dataset=args.dataset, arch=args.arch, epochs=args.epochs,

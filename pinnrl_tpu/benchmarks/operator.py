@@ -133,7 +133,7 @@ def run_gridded_operator_benchmark(
     lr: float = 2e-3,
     seed: int = 0,
     transfer_resolutions: Sequence[int] = (),
-):
+) -> "list[OperatorResult]":
     """TRUE operator learning (VERDICT round-2 item 8): a gridded 2D FNO
     (models/fno_grid.py) learns the one-step time-advance map
     u(., t_i) -> u(., t_{i+1}) from whole-field pairs, and is evaluated on
@@ -141,6 +141,9 @@ def run_gridded_operator_benchmark(
     reference FNO (reference: fno.py:95-146) cannot generalize to by
     construction. The point-wise run (run_operator_benchmark) remains the
     reference-parity row.
+
+    Always returns a list: ``[primary]`` plus one transfer row per entry in
+    ``transfer_resolutions``.
     """
     import jax
     import optax
@@ -224,9 +227,6 @@ def run_gridded_operator_benchmark(
         wall_time_s=wall,
         seed=seed,
     )
-    if not transfer_resolutions:
-        return primary
-
     # Resolution transfer (the capability models/fno_grid.py:1-15
     # advertises): the spectral conv keeps the SAME `modes` Fourier
     # coefficients at any grid size, so params trained at 48^2 evaluate

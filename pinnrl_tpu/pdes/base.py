@@ -275,7 +275,14 @@ class PDEBase:
                 )
             self._fused_residual_loss = None
             return False
-        self._fused_residual_loss = fused_step.make_fused_residual_loss(model, self)
+        eps = (
+            float(getattr(self.training, "causal_eps", 0.0) or 0.0)
+            if self.training is not None else 0.0
+        )
+        self._fused_causal = eps > 0.0
+        self._fused_residual_loss = fused_step.make_fused_residual_loss(
+            model, self, causal_eps=eps
+        )
         return True
 
     def _scalar_u(self, apply_fn: Callable, params) -> PointFn:
@@ -908,6 +915,7 @@ class PDEBase:
         k_b, k_i = jax.random.split(jax.random.fold_in(key, 0xB0), 2)
         use_fused = (
             self._fused_residual_loss is not None
+            and not coeffs  # explicit coefficient overrides take the XLA path
             and x.dtype == jnp.float32
             and x.shape[0] % 8 == 0
             and all(
@@ -916,10 +924,14 @@ class PDEBase:
             )
         )
         if use_fused:
-            # Fused fwd+bwd Pallas kernel: mean(r^2) + its parameter
-            # gradient in one VMEM-resident program (attach gate already
-            # excluded causal weighting / non-mse / trainable coeffs).
+            # Fused fwd+bwd Pallas kernel: (causally-weighted) mean(r^2) +
+            # its parameter gradient in one VMEM-resident program (attach
+            # gate already excluded non-mse / trainable coeffs). The causal
+            # variant requires time-sorted points: the argsort+gather runs
+            # in XLA here, the exact prefix weighting inside the kernel.
             z = jnp.concatenate([x, t], axis=-1)
+            if getattr(self, "_fused_causal", False):
+                z = z[jnp.argsort(t.reshape(-1))]
             residual_loss = self._fused_residual_loss(params, z)
         else:
             residual = self.compute_residual(apply_fn, params, x, t, coeffs)

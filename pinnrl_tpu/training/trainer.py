@@ -89,8 +89,20 @@ class PDETrainer:
         # term's forward AND backward run in one VMEM-resident program per
         # batch tile (ops/kernels/fused_step.py). Auto-gated off for causal
         # weighting, non-mse losses, inverse mode, or off-TPU backends.
+        # Never attached under a device mesh: pallas_call has no SPMD
+        # partitioning rule outside shard_map, so a NamedSharding-annotated
+        # batch would fail to partition (advisor round 4).
+        fused_enable = self.tcfg.get("fused_residual_kernel", "auto")
+        if self.mesh is not None:
+            if fused_enable in (True, "on"):
+                raise ValueError(
+                    "fused_residual_kernel cannot be combined with a device "
+                    "mesh: the Pallas program does not partition under "
+                    "NamedSharding (wrap in shard_map to lift this)"
+                )
+            fused_enable = "off"
         self.fused_kernel_active = pde.attach_fused_residual_kernel(
-            model, enable=self.tcfg.get("fused_residual_kernel", "auto")
+            model, enable=fused_enable
         )
 
         self.optimizer_name = self.tcfg.optimizer
@@ -199,6 +211,7 @@ class PDETrainer:
             + smooth_w * losses["smoothness"]
             + physics * float(lw.get("gpinn", 0.0)) * losses.get("gpinn", 0.0)
             + physics * float(lw.get("mass", 0.0)) * losses.get("mass", 0.0)
+            + physics * float(lw.get("mu_h2", 0.0)) * losses.get("mu_h2", 0.0)
             + data_w * losses["data"]
         )
 
