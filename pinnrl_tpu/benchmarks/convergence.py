@@ -565,6 +565,7 @@ def run_time_marching(
     seed: int = 0,
     n_windows: int = 4,
     epochs_per_window: Optional[int] = None,
+    mutate=None,
 ) -> ConvergenceResult:
     """Time-marching training: split the time horizon into sequential
     windows; window k trains on [t_k, t_{k+1}] with its initial condition
@@ -594,6 +595,11 @@ def run_time_marching(
         cfg = build_recipe_config(pde_key, epochs=epw)
         cfg.pde.time_domain = [float(edges[w]), float(edges[w + 1])]
         cfg.training.validation_frequency = max(epw // 2, 1)
+        if mutate is not None:
+            # Probe hook (scripts/probe_recipe.py tm=N): apply recipe
+            # overrides to every window config; the hook must preserve the
+            # window-specific time_domain/num_epochs it receives.
+            mutate(cfg)
         pde = create_pde(cfg)
         model = PINNModel(cfg, seed=seed)
         if prev is not None:

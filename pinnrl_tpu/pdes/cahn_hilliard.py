@@ -130,6 +130,43 @@ class CahnHilliardEquation(PDEBase):
         mode = self._training_mode()
         active = 0.0 if mode == "data_only" else 1.0
         losses["total"] = losses["total"] + active * w_mass * mass_loss
+        losses = self._mu_h2_penalty(apply_fn, params, coeffs, key, losses, active)
+        return losses
+
+    def _mu_h2_penalty(self, apply_fn, params, coeffs, key, losses, active):
+        """μ-channel H²-weighted residual penalty (``loss_weights.mu_h2``).
+
+        Round-4 obstruction analysis (benchmark_results/README.md): in the
+        mixed form a compatibility-residual error r2 at wavenumber k forces
+        the dynamics through Δr2, i.e. k²-amplified — noise the plain L2
+        residual cannot see. This term measures mean-square Δr2 SPECTRALLY
+        (rfft over a periodic x-grid at K random times, Parseval-weighted
+        k⁴|r̂2|²), penalizing exactly the amplified channel at
+        second-order-jet cost — no 4th-order nesting."""
+        w_h2 = float(self._loss_weights().get("mu_h2", 0.0))
+        if w_h2 <= 0.0 or self.dimension != 1 or self.system_size < 2:
+            return losses
+        G, K = 128, 8
+        (x_lo, x_hi) = self.domain[0]
+        L = x_hi - x_lo
+        xs = (x_lo + (L / G) * jnp.arange(G)).reshape(-1, 1)  # periodic grid
+        ts = jax.random.uniform(
+            jax.random.fold_in(key, 0x4D55), (K, 1),
+            minval=self.time_domain[0], maxval=self.time_domain[1],
+        )
+        xg = jnp.tile(xs, (K, 1))
+        tg = jnp.repeat(ts, G, axis=0)
+        r = self.compute_residual(apply_fn, params, xg, tg, coeffs)
+        r_mu = r.reshape(K, G, -1)[..., 1]
+        rhat = jnp.fft.rfft(r_mu, axis=1) / G
+        kf = (2.0 * jnp.pi / L) * jnp.arange(G // 2 + 1)
+        idx = jnp.arange(G // 2 + 1)
+        # One-sided spectrum: double interior modes (Parseval); DC and (for
+        # even G) Nyquist appear once.
+        mult = jnp.where((idx == 0) | (idx == G // 2), 1.0, 2.0)
+        h2 = jnp.mean(jnp.sum(mult * (kf**2 * jnp.abs(rhat)) ** 2, axis=1))
+        losses["mu_h2"] = h2
+        losses["total"] = losses["total"] + active * w_h2 * h2
         return losses
 
     def exact_solution(self, x, t, coeffs: Optional[Coeffs] = None):

@@ -50,6 +50,7 @@ def main():
     ap = cfg.model.arch_params
     save_path = None
     stage2 = {}
+    tm_windows = 0
     label = [pde_key, f"ep{epochs}", f"s{seed}"]
     for k, v in kv.items():
         label.append(f"{k}={v}")
@@ -110,6 +111,10 @@ def main():
             cfg.training.loss_weights["residual"] = float(v)
         elif k == "w_mass":
             cfg.training.loss_weights["mass"] = float(v)
+        elif k == "w_mu_h2":
+            cfg.training.loss_weights["mu_h2"] = float(v)
+        elif k == "tm":
+            tm_windows = int(v)
         elif k == "formulation":
             cfg.pde.parameters["formulation"] = v
             if v == "first_order":
@@ -142,6 +147,44 @@ def main():
             stage2["mapping_size"] = int(v)
         else:
             raise SystemExit(f"unknown key {k}")
+
+    if tm_windows:
+        # Time-marching probe (VERDICT r4 job #2): run the recipe+overrides
+        # through run_time_marching; every window inherits the probed
+        # model/training mutations but keeps its own time window & epochs.
+        import copy
+
+        from pinnrl_tpu.benchmarks.convergence import run_time_marching
+
+        def mutate(wcfg, _src=cfg):
+            keep_td = wcfg.pde.time_domain
+            keep_ep = wcfg.training.num_epochs
+            keep_vf = wcfg.training.validation_frequency
+            src = copy.deepcopy(_src)
+            wcfg.model = src.model
+            wcfg.pde = src.pde
+            wcfg.training = src.training
+            wcfg.pde.time_domain = keep_td
+            wcfg.training.num_epochs = keep_ep
+            wcfg.training.validation_frequency = keep_vf
+
+        t0 = time.perf_counter()
+        r = run_time_marching(
+            pde_key, seed=seed, n_windows=tm_windows,
+            epochs_per_window=max(epochs // tm_windows, 1), mutate=mutate,
+        )
+        wall = time.perf_counter() - t0
+        row = (
+            f'{"|".join(label)},{r.rel_l2:.6e},{r.max_error:.6e},'
+            f"{r.final_train_loss:.6e},{wall:.1f}"
+        )
+        OUT.parent.mkdir(exist_ok=True)
+        if not OUT.exists():
+            OUT.write_text("label,rel_l2,max_error,final_train_loss,wall_s\n")
+        with OUT.open("a") as f:
+            f.write(row + "\n")
+        print(row, flush=True)
+        return
 
     pde = create_pde(cfg)
     if stage2:

@@ -115,3 +115,44 @@ def test_adaptive_weights_plus_mass_trains(setup):
     res = PDETrainer(model, pde, cfg).train(seed=0)
     assert res["status"] == "completed"
     assert np.isfinite(res.get("final_loss", res.get("best_loss", 0.0)))
+
+
+# --------------------------------------------------------------------- #
+# μ-channel H²-weighted residual penalty (round-5 CH-dynamics lever)
+# --------------------------------------------------------------------- #
+
+
+def test_mu_h2_term_present_and_contributes(setup):
+    cfg, _, model = setup
+    cfg2 = build_recipe_config("cahn_hilliard_dynamics")
+    cfg2.pde.exact_solution.update({"nx": 64, "dt": 5e-3, "n_save": 16})
+    cfg2.training.loss_weights["mu_h2"] = 1.0
+    pde2 = create_pde(cfg2)
+    x, t = pde2.generate_collocation_points(jax.random.PRNGKey(0), 64)
+    L = pde2.compute_loss(model.apply, model.params, x, t, key=jax.random.PRNGKey(1))
+    assert "mu_h2" in L
+    assert float(L["mu_h2"]) > 0.0
+    assert np.isfinite(float(L["total"]))
+
+
+def test_mu_h2_parseval_single_mode(setup):
+    """Spectral Δr2 measurement is exact on a crafted single-mode residual:
+    r2 = cos(m x) on [0, 2π) gives mean-square Δr2 = m⁴/2."""
+    cfg2 = build_recipe_config("cahn_hilliard_dynamics")
+    cfg2.pde.exact_solution.update({"nx": 64, "dt": 5e-3, "n_save": 16})
+    cfg2.training.loss_weights["mu_h2"] = 1.0
+    pde2 = create_pde(cfg2)
+
+    m = 3
+
+    def fake_residual(apply_fn, params, x, t, coeffs=None):
+        r1 = jnp.zeros_like(x[:, 0:1])
+        r2 = jnp.cos(m * x[:, 0:1])
+        return jnp.concatenate([r1, r2], axis=-1)
+
+    pde2.compute_residual = fake_residual
+    losses = {"total": jnp.zeros(())}
+    out = pde2._mu_h2_penalty(
+        None, None, None, jax.random.PRNGKey(0), losses, active=1.0
+    )
+    assert float(out["mu_h2"]) == pytest.approx(m**4 / 2.0, rel=1e-5)
