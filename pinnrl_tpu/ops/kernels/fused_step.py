@@ -68,10 +68,19 @@ def _numpy_shim(model):
     )
 
 
-def pick_tile(n_points: int, stacked_streams: int, width: int) -> int:
-    """Largest power-of-two tile whose fused live set fits the VMEM budget."""
+def pick_tile(
+    n_points: int, stacked_streams: int, width: int, causal: bool = False
+) -> int:
+    """Largest power-of-two tile whose fused live set fits the VMEM budget.
+
+    ``causal`` adds the (tile, tile) strict-lower-triangular prefix matrix
+    the causal variant materializes in VMEM (see ``make_fused_residual_loss``).
+    """
     per_row = stacked_streams * width * 4 * _LIVE_TENSORS
     tile = 1 << max(int(np.floor(np.log2(max(_VMEM_BUDGET_BYTES // max(per_row, 1), 8)))), 3)
+    if causal:
+        while tile > 8 and tile * per_row + 4 * tile * tile > _VMEM_BUDGET_BYTES:
+            tile //= 2
     while n_points % tile:
         tile //= 2
     return max(tile, 8)
@@ -83,13 +92,28 @@ def make_fused_residual_loss(
     *,
     tile: Optional[int] = None,
     interpret: bool = False,
+    causal_eps: float = 0.0,
 ) -> Callable:
-    """Build ``fn(net_params, z) -> mean residual loss`` with a fused VJP.
+    """Build ``fn(net_params, z) -> residual loss`` with a fused VJP.
 
     ``net_params`` is the model's flax param tree; ``z`` is ``(N, dim+1)``.
     The returned callable is differentiable w.r.t. ``net_params`` (custom
     VJP backed by the same pallas call); the cotangent w.r.t. ``z`` is zero
     (collocation coordinates are data, never trained through this path).
+
+    With ``causal_eps > 0`` the kernel computes the EXACT causally-weighted
+    loss of ``PDEBase._residual_loss`` — ``sum_i w_i r_i^2 / sum_i w_i``
+    with ``w_i = exp(-eps * sum_{j<i} r_j^2 / N)`` over time-sorted points —
+    fused into the same single pass. The caller must pass ``z`` sorted by
+    ascending time (``compute_loss`` does the argsort in XLA). This exploits
+    a TPU-specific property: Pallas grid steps execute SEQUENTIALLY on a
+    core, so a running prefix of ``sum r^2`` carried across batch tiles (an
+    accumulated (1,1) output read back each step) reproduces the global
+    exclusive cumsum without a second pass — the two-sweep structure a
+    data-parallel GPU grid would force simply never materializes. The
+    weights are stop-gradiented exactly as in the XLA path, so the VJP of
+    the numerator alone (scaled by the accumulated ``1/sum w``) is the true
+    gradient.
     """
     from jax.experimental import pallas as pl
 
@@ -116,7 +140,10 @@ def make_fused_residual_loss(
     def _leaf2d(a):
         return a.reshape(1, -1) if a.ndim == 1 else a
 
-    def _tile_loss(leaves2d, const_leaves2d, z_tile):
+    eps = float(causal_eps or 0.0)
+    causal = eps > 0.0
+
+    def _tile_residuals(leaves2d, const_leaves2d, z_tile):
         leaves = [
             l.reshape(s) if l.shape != s else l
             for l, s in zip(leaves2d, leaf_shapes)
@@ -139,19 +166,43 @@ def make_fused_residual_loss(
             return pde.residual_pointwise(BundleView(val, st), zz, None)
 
         r = jax.vmap(point_res)(value, streams, z_tile)
-        # Sum-of-squares as a (1, N) @ (N, 1) matmul: Mosaic cannot lower
-        # the 1D multi_reduction layout a plain jnp.sum(r * r) produces
-        # ("Not implemented: Offset change"); the rank-2 dot lowers cleanly
-        # and its transpose (a broadcast matmul) does too.
-        rr = (r * r).reshape(1, -1)
-        return rr @ jnp.ones((rr.shape[1], 1), rr.dtype)
+        # Row vector of squared residuals: reductions below are (1, N) @
+        # (N, 1) matmuls — Mosaic cannot lower the 1D multi_reduction
+        # layout a plain jnp.sum(r * r) produces ("Not implemented: Offset
+        # change"); the rank-2 dot lowers cleanly and so does its transpose.
+        return (r * r).reshape(1, -1)
+
+    def _tile_loss(leaves2d, const_leaves2d, z_tile, carry11, inv_n):
+        """(weighted) sum of squared residuals for one tile.
+
+        Returns ``(num, (sum_r2, sum_w))`` — aux carries the prefix update
+        and the weight mass; both are stop-grad by construction (the vjp
+        only flows through ``num``'s explicit r^2 factor)."""
+        rr = _tile_residuals(leaves2d, const_leaves2d, z_tile)
+        t = rr.shape[1]
+        ones = jnp.ones((t, 1), rr.dtype)
+        if not causal:
+            num = rr @ ones
+            return num, (num, jnp.full((1, 1), float(t), rr.dtype))
+        # Exclusive in-tile prefix via a strict-lower-triangular matmul:
+        # M[j, i] = 1 iff j < i, so (rr @ M)[i] = sum_{j<i} rr[j]. iota
+        # comparison materializes M in VMEM ((t, t) f32, budgeted in
+        # pick_tile); cumsum lowers poorly under Mosaic, the matmul is MXU.
+        row = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+        m = (row < col).astype(rr.dtype)
+        cum_prev = carry11 + rr @ m
+        w = jax.lax.stop_gradient(jnp.exp(-eps * inv_n * cum_prev))
+        num = (w * rr) @ ones
+        return num, (rr @ ones, w @ ones)
 
     def _run(leaves2d, const_leaves2d, z):
         n = z.shape[0]
-        t = tile or pick_tile(n, n_streams, width)
+        t = tile or pick_tile(n, n_streams, width, causal=causal)
         if n % t:
             raise ValueError(f"batch {n} not divisible by tile {t}")
         grid = n // t
+        inv_n = 1.0 / n
         n_leaves = len(leaves2d)
         n_consts = len(const_leaves2d)
 
@@ -160,38 +211,55 @@ def make_fused_residual_loss(
             leaf_refs = refs[1 : 1 + n_leaves]
             const_refs = refs[1 + n_leaves : 1 + n_leaves + n_consts]
             loss_ref = refs[1 + n_leaves + n_consts]
-            grad_refs = refs[2 + n_leaves + n_consts :]
-
-            leaves = [r[...] for r in leaf_refs]
-            cleaves = [r[...] for r in const_refs]
-            # jax.vjp with a (1, 1) cotangent: value_and_grad would force a
-            # rank-0 loss, whose Mosaic layout cannot be reduced into.
-            l11, vjp = jax.vjp(
-                lambda lv: _tile_loss(lv, cleaves, z_ref[...]), leaves
-            )
-            (g,) = vjp(jnp.ones((1, 1), jnp.float32))
+            sumw_ref = refs[2 + n_leaves + n_consts]
+            cum_ref = refs[3 + n_leaves + n_consts]
+            grad_refs = refs[4 + n_leaves + n_consts :]
 
             @pl.when(pl.program_id(0) == 0)
             def _init():
                 loss_ref[...] = jnp.zeros_like(loss_ref)
+                sumw_ref[...] = jnp.zeros_like(sumw_ref)
+                cum_ref[...] = jnp.zeros_like(cum_ref)
                 for gr in grad_refs:
                     gr[...] = jnp.zeros_like(gr)
 
+            leaves = [r[...] for r in leaf_refs]
+            cleaves = [r[...] for r in const_refs]
+            # Sequential-grid prefix carry: cum_ref holds sum r^2 of all
+            # PREVIOUS tiles (time-sorted input), read before this tile's
+            # update — the global exclusive cumsum, one pass.
+            carry11 = cum_ref[...]
+            # jax.vjp with a (1, 1) cotangent: value_and_grad would force a
+            # rank-0 loss, whose Mosaic layout cannot be reduced into.
+            l11, vjp, aux = jax.vjp(
+                lambda lv: _tile_loss(lv, cleaves, z_ref[...], carry11, inv_n),
+                leaves,
+                has_aux=True,
+            )
+            (g,) = vjp(jnp.ones((1, 1), jnp.float32))
+            sum_r2, sum_w = aux
+
             loss_ref[...] += l11
+            sumw_ref[...] += sum_w
+            cum_ref[...] += sum_r2
             for gr, gg in zip(grad_refs, g):
                 gr[...] += gg
 
-        out_shape = [jax.ShapeDtypeStruct((1, 1), jnp.float32)] + [
-            jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves2d
-        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),  # weighted sum
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),  # sum of weights
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),  # prefix carry
+        ] + [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves2d]
         in_specs = [pl.BlockSpec((t, z.shape[1]), lambda i: (i, 0))] + [
             pl.BlockSpec(l.shape, lambda i: (0, 0))
             for l in [*leaves2d, *const_leaves2d]
         ]
-        out_specs = [pl.BlockSpec((1, 1), lambda i: (0, 0))] + [
-            pl.BlockSpec(l.shape, lambda i: (0, 0)) for l in leaves2d
-        ]
-        loss, *grads = pl.pallas_call(
+        out_specs = [
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),
+        ] + [pl.BlockSpec(l.shape, lambda i: (0, 0)) for l in leaves2d]
+        loss, sumw, _cum, *grads = pl.pallas_call(
             kernel,
             grid=(grid,),
             in_specs=in_specs,
@@ -199,7 +267,7 @@ def make_fused_residual_loss(
             out_shape=out_shape,
             interpret=interpret,
         )(z, *leaves2d, *const_leaves2d)
-        return loss[0, 0], grads
+        return loss[0, 0], sumw[0, 0], grads
 
     const_leaves2d_static = [
         _leaf2d(jnp.asarray(np.asarray(l, dtype=np.float32)))
@@ -209,21 +277,24 @@ def make_fused_residual_loss(
     @jax.custom_vjp
     def fused_loss(net_params, z):
         leaves2d = [_leaf2d(l) for l in jax.tree_util.tree_leaves(net_params)]
-        loss, _ = _run(leaves2d, const_leaves2d_static, z)
-        return loss / z.shape[0]
+        loss, sumw, _ = _run(leaves2d, const_leaves2d_static, z)
+        return loss / sumw
 
     def fused_fwd(net_params, z):
         leaves2d = [_leaf2d(l) for l in jax.tree_util.tree_leaves(net_params)]
-        loss, grads2d = _run(leaves2d, const_leaves2d_static, z)
+        loss, sumw, grads2d = _run(leaves2d, const_leaves2d_static, z)
         grads = [
             g.reshape(s) if g.shape != s else g
             for g, s in zip(grads2d, leaf_shapes)
         ]
-        inv_n = 1.0 / z.shape[0]
+        # Normalization 1/sum(w) is stop-grad (weights are stop-gradiented
+        # in the XLA reference semantics too), so scaling the accumulated
+        # numerator gradient is the exact loss gradient.
+        inv_w = 1.0 / sumw
         grad_tree = jax.tree_util.tree_unflatten(
-            treedef, [g * inv_n for g in grads]
+            treedef, [g * inv_w for g in grads]
         )
-        return loss * inv_n, (grad_tree, jnp.zeros_like(z))
+        return loss * inv_w, (grad_tree, jnp.zeros_like(z))
 
     def fused_bwd(res, g):
         grad_tree, z_zero = res
@@ -235,16 +306,22 @@ def make_fused_residual_loss(
 
 def supports(model, pde, training=None) -> bool:
     """Gate: same structural conditions as the stacked-jet bundle, plus the
-    reductions the kernel hard-codes (plain MSE, no causal weighting, no
-    trainable PDE coefficients) and a TPU backend (XLA fallback otherwise —
-    the fused program targets Mosaic/VMEM).
+    reductions the kernel hard-codes (plain MSE, no trainable PDE
+    coefficients) and a TPU backend (XLA fallback otherwise — the fused
+    program targets Mosaic/VMEM).
 
     Width gate (measured, docs/performance.md round 4): the kernel wins
     only where the XLA step is genuinely HBM-bound — 1.28x at 256-wide
     trunks (3.28 -> 2.55 ms/step, batch 8192) but 0.73x at 64-wide, where
     the VMEM cap forces small batch tiles whose 64-lane matmuls underfill
     the MXU while XLA's fusion already keeps the working set on-chip. Auto
-    mode therefore requires every matmul in the trunk to be >= 128 wide."""
+    mode therefore requires every matmul in the trunk to be >= 128 wide.
+
+    Round 5 lifted two round-4 exclusions after on-hardware measurement
+    (benchmark_results/fused_kernel_ab.json, kdv rows): causal weighting
+    (exact prefix semantics via the sequential-grid carry, see
+    ``make_fused_residual_loss``) and order-3 spatial jets (KdV-class; the
+    5-stream live set fits the same VMEM budget at a smaller tile)."""
     from pinnrl_tpu.ops import jet_mlp
 
     if not (pde.bundle_compatible and pde.system_size == 1
@@ -255,21 +332,16 @@ def supports(model, pde, training=None) -> bool:
     if training is not None:
         if getattr(training, "loss_function", "mse") != "mse":
             return False
-        if float(getattr(training, "causal_eps", 0.0) or 0.0) > 0.0:
-            return False
     widths = list(model.config.hidden_dims)
     m = int(model.config.arch_params.get("mapping_size", 0))
     if m:
         widths.append(2 * m)
     if min(widths) < 128:
         return False
-    # Measured scope: the VMEM live-set estimate behind pick_tile was
-    # calibrated on <=2nd-order spatial / 1st-order temporal streams
-    # (heat/Burgers class). Deeper jets (KdV's 3rd, CH's 4th order) carry
-    # more simultaneously-live streams per tile and have not been sized on
+    # Measured scope: order-4 jets (CH biharmonic) remain unmeasured on
     # hardware — auto mode stays within measurement; use
     # attach_fused_residual_kernel(model, enable="on") to opt in.
-    if max(pde.spatial_orders, default=0) > 2:
+    if max(pde.spatial_orders, default=0) > 3:
         return False
     if max(pde.temporal_orders, default=0) > 1:
         return False

@@ -147,4 +147,127 @@ def test_fused_step_supports_width_gate():
     assert not fused_step.supports(m, p, c.training)   # narrow: measured loss
     m, p, c = build([256, 256], 128)
     c.training.causal_eps = 1.0
-    assert not fused_step.supports(m, p, c.training)   # causal weighting
+    # Round 5: causal weighting is now SUPPORTED (exact prefix semantics
+    # via the sequential-grid carry, measured on hardware).
+    assert fused_step.supports(m, p, c.training)
+    c.training.loss_function = "mae"
+    assert not fused_step.supports(m, p, c.training)   # non-mse reduction
+
+
+def test_fused_step_supports_order3():
+    """Round 5: order-3 spatial jets (KdV class) pass the auto gate; the
+    unmeasured order-4 class stays excluded."""
+    from pinnrl_tpu.config import load_config
+    from pinnrl_tpu.models import PINNModel
+    from pinnrl_tpu.ops.kernels import fused_step
+    from pinnrl_tpu.pdes import create_pde
+
+    cfg = load_config(pde_type="kdv", architecture="fourier")
+    cfg.model.hidden_dims = [256, 256, 256]
+    cfg.model.arch_params["mapping_size"] = 256
+    m, p = PINNModel(cfg, seed=0), create_pde(cfg)
+    assert max(p.spatial_orders) == 3
+    assert fused_step.supports(m, p, cfg.training)
+
+
+def test_fused_causal_residual_loss_interpret_matches_xla():
+    """Causal fused kernel (round 5): exact parity with the XLA
+    ``_residual_loss`` causal path — loss AND parameter gradients — in
+    interpret mode (CPU-runnable; the on-TPU tier re-checks on hardware).
+    The kernel's sequential-grid prefix carry must reproduce the global
+    time-sorted exclusive cumsum across tiles."""
+    import jax
+
+    from pinnrl_tpu.config import load_config
+    from pinnrl_tpu.models import PINNModel
+    from pinnrl_tpu.ops.kernels import fused_step
+    from pinnrl_tpu.pdes import create_pde
+
+    cfg = load_config(pde_type="burgers", architecture="fourier")
+    cfg.model.hidden_dims = [32, 32]
+    cfg.model.arch_params["mapping_size"] = 16
+    cfg.training.causal_eps = 1.0
+    pde = create_pde(cfg)
+    model = PINNModel(cfg, seed=0)
+    pde.attach_fast_bundle(model)
+    fused = fused_step.make_fused_residual_loss(
+        model, pde, causal_eps=1.0, tile=32, interpret=True
+    )
+
+    x, t = pde.generate_collocation_points(jax.random.PRNGKey(7), 128)
+    order = jnp.argsort(t.reshape(-1))
+    z = jnp.concatenate([x, t], axis=-1)[order]
+
+    def ref_loss(p):
+        r = pde.compute_residual(model.apply, p, x, t, None)
+        return pde._residual_loss(r, t)
+
+    l_ref, g_ref = jax.value_and_grad(ref_loss)(model.params)
+    l_fus, g_fus = jax.value_and_grad(lambda p: fused(p, z))(model.params)
+    assert abs(float(l_ref - l_fus)) / max(abs(float(l_ref)), 1e-12) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_fus)):
+        denom = float(jnp.abs(a).max()) + 1e-12
+        assert float(jnp.abs(a - b).max()) / denom < 1e-4
+
+
+def test_fused_noncausal_interpret_matches_mean_mse():
+    """The refactored non-causal path (sum-of-weights denominator) is still
+    exactly mean(r^2)."""
+    import jax
+
+    from pinnrl_tpu.config import load_config
+    from pinnrl_tpu.models import PINNModel
+    from pinnrl_tpu.ops.kernels import fused_step
+    from pinnrl_tpu.pdes import create_pde
+
+    cfg = load_config(pde_type="burgers", architecture="fourier")
+    cfg.model.hidden_dims = [32, 32]
+    cfg.model.arch_params["mapping_size"] = 16
+    pde = create_pde(cfg)
+    model = PINNModel(cfg, seed=0)
+    pde.attach_fast_bundle(model)
+    fused = fused_step.make_fused_residual_loss(
+        model, pde, tile=32, interpret=True
+    )
+    x, t = pde.generate_collocation_points(jax.random.PRNGKey(3), 128)
+    z = jnp.concatenate([x, t], axis=-1)
+    r = pde.compute_residual(model.apply, model.params, x, t, None)
+    ref = float(jnp.mean(r**2))
+    got = float(fused(model.params, z))
+    assert abs(ref - got) / max(abs(ref), 1e-12) < 1e-5
+
+
+def test_fused_causal_order3_interpret():
+    """KdV (order-3 jets) + causal weighting through the fused kernel in
+    interpret mode: parity against the XLA path."""
+    import jax
+
+    from pinnrl_tpu.config import load_config
+    from pinnrl_tpu.models import PINNModel
+    from pinnrl_tpu.ops.kernels import fused_step
+    from pinnrl_tpu.pdes import create_pde
+
+    cfg = load_config(pde_type="kdv", architecture="fourier")
+    cfg.model.hidden_dims = [32, 32]
+    cfg.model.arch_params["mapping_size"] = 16
+    cfg.training.causal_eps = 0.5
+    pde = create_pde(cfg)
+    model = PINNModel(cfg, seed=1)
+    pde.attach_fast_bundle(model)
+    fused = fused_step.make_fused_residual_loss(
+        model, pde, causal_eps=0.5, tile=16, interpret=True
+    )
+    x, t = pde.generate_collocation_points(jax.random.PRNGKey(9), 64)
+    order = jnp.argsort(t.reshape(-1))
+    z = jnp.concatenate([x, t], axis=-1)[order]
+
+    def ref_loss(p):
+        r = pde.compute_residual(model.apply, p, x, t, None)
+        return pde._residual_loss(r, t)
+
+    l_ref = float(ref_loss(model.params))
+    l_fus = float(fused(model.params, z))
+    # Order-3 jets of a random-init net give r^2 ~ 1e7; tile-chunked f32
+    # accumulation differs from XLA's single reduction at ~3e-5 relative.
+    assert abs(l_ref - l_fus) / max(abs(l_ref), 1e-12) < 2e-4
