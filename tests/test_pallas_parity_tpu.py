@@ -153,3 +153,80 @@ def test_fused_residual_loss_matches_xla_path():
     for a, b in zip(jax.tree_util.tree_leaves(g_ref),
                     jax.tree_util.tree_leaves(g_fus)):
         assert _rel(a, b) < 1e-4
+
+
+def test_fused_causal_residual_loss_matches_xla_on_tpu():
+    """Round 5: the causal fused kernel's sequential-grid prefix carry on
+    REAL Mosaic — loss + grads vs the XLA ``_residual_loss`` causal path."""
+    from pinnrl_tpu.config import load_config
+    from pinnrl_tpu.models import PINNModel
+    from pinnrl_tpu.ops.kernels import fused_step
+    from pinnrl_tpu.pdes import create_pde
+
+    cfg = load_config(pde_type="burgers", architecture="fourier")
+    cfg.model.hidden_dims = [64, 64, 64]
+    cfg.model.arch_params["mapping_size"] = 32
+    cfg.training.causal_eps = 1.0
+    pde = create_pde(cfg)
+    model = PINNModel(cfg, seed=0)
+    pde.attach_fast_bundle(model)
+    fused = fused_step.make_fused_residual_loss(
+        model, pde, causal_eps=1.0, tile=128
+    )
+    x, t = pde.generate_collocation_points(jax.random.PRNGKey(4), 1024)
+    order = jnp.argsort(t.reshape(-1))
+    z = jnp.concatenate([x, t], axis=-1)[order]
+
+    def ref_loss(p):
+        r = pde.compute_residual(model.apply, p, x, t, None)
+        return pde._residual_loss(r, t)
+
+    l_ref, g_ref = jax.jit(jax.value_and_grad(ref_loss))(model.params)
+    l_fus, g_fus = jax.jit(jax.value_and_grad(lambda p: fused(p, z)))(model.params)
+    assert abs(float(l_ref - l_fus)) / abs(float(l_ref)) < 1e-4
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_fus)):
+        assert _rel(a, b) < 1e-3
+
+
+def test_fused_order3_kdv_loss_matches_xla_on_tpu():
+    """Order-3 jets (KdV) through the fused kernel on real Mosaic."""
+    from pinnrl_tpu.config import load_config
+    from pinnrl_tpu.models import PINNModel
+    from pinnrl_tpu.ops.kernels import fused_step
+    from pinnrl_tpu.pdes import create_pde
+
+    cfg = load_config(pde_type="kdv", architecture="fourier")
+    cfg.model.hidden_dims = [64, 64, 64]
+    cfg.model.arch_params["mapping_size"] = 32
+    pde = create_pde(cfg)
+    model = PINNModel(cfg, seed=1)
+    pde.attach_fast_bundle(model)
+    fused = fused_step.make_fused_residual_loss(model, pde, tile=64)
+    x, t = pde.generate_collocation_points(jax.random.PRNGKey(5), 512)
+    z = jnp.concatenate([x, t], axis=-1)
+
+    def ref_loss(p):
+        r = pde.compute_residual(model.apply, p, x, t, None)
+        return jnp.mean(r**2)
+
+    l_ref = float(jax.jit(ref_loss)(model.params))
+    l_fus = float(jax.jit(lambda p: fused(p, z))(model.params))
+    assert abs(l_ref - l_fus) / max(abs(l_ref), 1e-12) < 2e-4
+
+
+def test_grid_fno_dft_spectral_conv_on_tpu():
+    """The truncated-DFT spectral conv trains on this backend (the FFT
+    path's gradient does not lower — the measured round-5 motivation)."""
+    from pinnrl_tpu.models.fno_grid import GridFNO2D
+
+    fno = GridFNO2D(width=8, modes=4, num_blocks=2)
+    a = jax.random.normal(jax.random.PRNGKey(0), (2, 24, 24, 1))
+    p = fno.init(jax.random.PRNGKey(1), a)
+    loss, g = jax.value_and_grad(
+        lambda p: jnp.mean(fno.apply(p, a) ** 2)
+    )(p)
+    assert np.isfinite(float(loss))
+    assert all(
+        bool(jnp.all(jnp.isfinite(l))) for l in jax.tree_util.tree_leaves(g)
+    )
