@@ -172,3 +172,23 @@ def test_solution_explorer_missing_artifacts(tmp_path):
     empty = tmp_path / "no_exp"
     empty.mkdir()
     assert load_solution(empty) is None
+
+
+def test_report_endpoint_serves_html(server):
+    """/api/experiment/<name>/report generates (if absent) and serves the
+    self-contained HTML report (reference: dashboard.py:2091-2127)."""
+    status, body = _get(
+        server + "/api/experiment/20260101_000000_heat_fourier_norl/report"
+    )
+    assert status == 200
+    assert b"<html" in body.lower() or b"<!doctype" in body.lower()
+
+
+def test_spa_has_report_link_and_true_param_line(server):
+    """Round-5 SPA parity odds-and-ends: the Monitor tab links the report
+    download and draws dashed true-value lines on inverse trajectories."""
+    _, body = _get(server + "/")
+    assert b"report-link" in body
+    assert b"/report" in body
+    assert b"true_parameters" in body
+    assert b"stroke-dasharray" in body
