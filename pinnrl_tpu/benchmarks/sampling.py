@@ -104,6 +104,7 @@ def _train_one(
     arch: str = "fourier",
     rar: Optional[Dict[str, float]] = None,
     rl_variant: str = "coord",
+    windows: int = 0,
 ) -> SamplingResult:
     """``rl_variant`` (adaptive strategy only) — the round-4 probes for a
     regime where LEARNING should beat static residual bias (VERDICT r3
@@ -126,6 +127,27 @@ def _train_one(
 
     use_resfeat = "resfeat" in rl_variant
     use_improve = "improve" in rl_variant
+
+    # Non-stationary regime (round 5, the VERDICT r4 untested hypothesis):
+    # ``windows=W`` trains an expanding-horizon curriculum — phase w samples
+    # collocation/BC/IC points from time_domain [t0, t0 + (w+1)/W * T] with
+    # model, optimizer state, AND the RL agent carried across phases. Every
+    # horizon extension exposes a fresh untrained region (a residual front
+    # that jumps discontinuously): RAR re-scores its pool every step and
+    # reacts immediately, while the DQN must relearn its Q-map — unless
+    # learning the restart pattern pays, which is exactly the hypothesis.
+    # Validation is always on the FULL horizon.
+    def _phase_pde(w: int, phases: int):
+        import copy
+
+        t_lo, t_hi = pde.time_domain
+        cfg_w = copy.deepcopy(cfg)
+        cfg_w.pde.time_domain = [
+            float(t_lo), float(t_lo + (w + 1) / phases * (t_hi - t_lo))
+        ]
+        pde_w = create_pde(cfg_w)
+        pde_w.attach_fast_bundle(model)
+        return pde_w
 
     agent = None
     rl_state = ()
@@ -155,92 +177,108 @@ def _train_one(
     params = model.params
     opt_state = opt.init(params)
 
-    def sample(key, p, rl_st):
-        if strategy == "residual_based":
-            rfn = lambda xx, tt: pde.residual_score(model.apply, p, xx, tt)
-            return pde.generate_collocation_points(
-                key, batch, strategy, residual_fn=rfn, **(rar or {})
-            )
-        if strategy == "adaptive":
-            k1, k2 = jax.random.split(key)
-            if use_resfeat:
-                sfn = lambda grid: agent.select_action(
-                    rl_st, jnp.concatenate([grid, _res_feature(p, grid)], -1), k1
+    def build_step(pde):
+        """Step function closure for one phase's PDE (windows>0 changes the
+        sampling time_domain between phases; windows=0 has one phase)."""
+
+        def sample(key, p, rl_st):
+            if strategy == "residual_based":
+                rfn = lambda xx, tt: pde.residual_score(model.apply, p, xx, tt)
+                return pde.generate_collocation_points(
+                    key, batch, strategy, residual_fn=rfn, **(rar or {})
                 )
-            else:
-                sfn = lambda grid: agent.select_action(rl_st, grid, k1)
-            return pde.generate_collocation_points(k2, batch, strategy, score_fn=sfn)
-        return pde.generate_collocation_points(key, batch, strategy)
+            if strategy == "adaptive":
+                k1, k2 = jax.random.split(key)
+                if use_resfeat:
+                    sfn = lambda grid: agent.select_action(
+                        rl_st, jnp.concatenate([grid, _res_feature(p, grid)], -1), k1
+                    )
+                else:
+                    sfn = lambda grid: agent.select_action(rl_st, grid, k1)
+                return pde.generate_collocation_points(k2, batch, strategy, score_fn=sfn)
+            return pde.generate_collocation_points(key, batch, strategy)
 
-    def step(carry, _):
-        params, opt_state, rl_st, prev_loss, key = carry
-        key, k_s, k_l, k_rl = jax.random.split(key, 4)
-        x, t = sample(k_s, params, rl_st)
+        def step(carry, _):
+            params, opt_state, rl_st, prev_loss, key = carry
+            key, k_s, k_l, k_rl = jax.random.split(key, 4)
+            x, t = sample(k_s, params, rl_st)
 
-        def loss_fn(p):
-            losses = pde.compute_loss(model.apply, p, x, t, key=k_l)
-            return losses["total"], losses
+            def loss_fn(p):
+                losses = pde.compute_loss(model.apply, p, x, t, key=k_l)
+                return losses["total"], losses
 
-        (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        if agent is not None:
-            n = min(128, batch)
-            res = pde.residual_score(model.apply, params, x[:n], t[:n])
-            pts = jnp.concatenate([x[:n], t[:n]], axis=-1)
-            if use_resfeat:
-                pts = jnp.concatenate([pts, _res_feature(params, pts)], -1)
-            if use_improve:
-                # Learning-progress reward: relative one-step decrease of
-                # the total loss caused by training on this batch, shared
-                # across its points (bandit credit; Q regresses toward
-                # E[progress | point]). Clipped — single steps are noisy.
-                # First step (prev_loss sentinel 0) gets reward 0, not
-                # inf/inf = NaN, which would poison the replay buffer.
-                rel = jnp.clip((prev_loss - loss) / (prev_loss + 1e-9), -1.0, 1.0)
-                reward = jnp.broadcast_to(
-                    jnp.where(prev_loss > 0, rel, 0.0), (n,)
-                )
-            else:
-                reward = agent.compute_reward(
-                    res, losses["boundary"], losses["initial"]
-                )
-            # Bandit transitions (done=1) + one epsilon step per step
-            # (this harness runs one batch step per epoch).
-            rl_st = agent.update(rl_st, pts, reward, pts, jnp.ones(()), k_rl)
-            rl_st = agent.update_epsilon(rl_st)
-        return (params, opt_state, rl_st, loss, key), loss
+            (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            if agent is not None:
+                n = min(128, batch)
+                res = pde.residual_score(model.apply, params, x[:n], t[:n])
+                pts = jnp.concatenate([x[:n], t[:n]], axis=-1)
+                if use_resfeat:
+                    pts = jnp.concatenate([pts, _res_feature(params, pts)], -1)
+                if use_improve:
+                    # Learning-progress reward: relative one-step decrease
+                    # of the total loss caused by training on this batch,
+                    # shared across its points (bandit credit; Q regresses
+                    # toward E[progress | point]). Clipped — single steps
+                    # are noisy. First step (prev_loss sentinel 0) gets
+                    # reward 0, not inf/inf = NaN, which would poison the
+                    # replay buffer.
+                    rel = jnp.clip(
+                        (prev_loss - loss) / (prev_loss + 1e-9), -1.0, 1.0
+                    )
+                    reward = jnp.broadcast_to(
+                        jnp.where(prev_loss > 0, rel, 0.0), (n,)
+                    )
+                else:
+                    reward = agent.compute_reward(
+                        res, losses["boundary"], losses["initial"]
+                    )
+                # Bandit transitions (done=1) + one epsilon step per step
+                # (this harness runs one batch step per epoch).
+                rl_st = agent.update(rl_st, pts, reward, pts, jnp.ones(()), k_rl)
+                rl_st = agent.update_epsilon(rl_st)
+            return (params, opt_state, rl_st, loss, key), loss
 
-    # Exactly `epochs` steps run: full fused chunks plus one remainder chunk
-    # (epochs=250 previously ran 200 steps yet reported 250-step throughput).
-    inner = min(epochs, _INNER)
-    n_full, rem = divmod(epochs, inner)
+        return step
 
-    @jax.jit
-    def chunk(carry):
-        return jax.lax.scan(step, carry, None, length=inner)
-
-    @jax.jit
-    def rem_chunk(carry):
-        return jax.lax.scan(step, carry, None, length=rem)
+    phases = max(int(windows), 1)
+    per_phase = [epochs // phases] * phases
+    per_phase[-1] += epochs - sum(per_phase)
 
     key = jax.random.PRNGKey(seed)
     carry = (params, opt_state, rl_state, jnp.asarray(0.0), key)
-    # Warm-up compile outside the timed region.
-    carry_w, _ = chunk(carry)
-    if rem:
-        carry_w, _ = rem_chunk(carry_w)
-    jax.block_until_ready(carry_w[0])
-
-    t0 = time.perf_counter()
+    wall = 0.0
     losses_tail = None
-    for _ in range(n_full):
-        carry, losses_tail = chunk(carry)
-    if rem:
-        carry, losses_tail = rem_chunk(carry)
+    for w, n_ep in enumerate(per_phase):
+        pde_w = pde if w == phases - 1 else _phase_pde(w, phases)
+        step = build_step(pde_w)
+        # Exactly `n_ep` steps run: full fused chunks plus one remainder
+        # chunk (epochs=250 previously ran 200 steps yet reported 250-step
+        # throughput).
+        inner = min(n_ep, _INNER)
+        n_full, rem = divmod(n_ep, inner)
+        chunk = jax.jit(
+            lambda c, _s=step, _n=inner: jax.lax.scan(_s, c, None, length=_n)
+        )
+        rem_chunk = jax.jit(
+            lambda c, _s=step, _n=rem: jax.lax.scan(_s, c, None, length=_n)
+        )
+        # Warm-up compile outside the timed region.
+        carry_w, _ = chunk(carry)
+        if rem:
+            carry_w, _ = rem_chunk(carry_w)
+        jax.block_until_ready(carry_w[0])
+
+        t0 = time.perf_counter()
+        for _ in range(n_full):
+            carry, losses_tail = chunk(carry)
+        if rem:
+            carry, losses_tail = rem_chunk(carry)
+        jax.block_until_ready(carry[0])
+        wall += time.perf_counter() - t0
     params, opt_state, rl_state, _, _ = carry
     loss = float(jax.block_until_ready(losses_tail)[-1])
-    wall = time.perf_counter() - t0
 
     x_grid, t_grid = _fixed_validation_grid(pde)
     ev = _evaluate(pde, model, params, x_grid, t_grid)
@@ -268,6 +306,7 @@ def run_sampling_benchmark(
     seed: int = 0,
     arch: str = "fourier",
     rar: Optional[Dict[str, float]] = None,
+    windows: int = 0,
 ) -> List[SamplingResult]:
     """Benchmark every requested strategy (reference: sampling.py:219-289).
 
@@ -275,6 +314,8 @@ def run_sampling_benchmark(
     residual_based strategy (keys: pool_factor / uniform_floor / power).
     A strategy entry "adaptive[<variant>]" selects an RL variant
     (see ``_train_one``: resfeat / improve / resfeat_improve).
+    ``windows=W`` trains the expanding-horizon non-stationary curriculum
+    (see ``_train_one``).
     """
     if pde not in PDE_CHOICES:
         raise ValueError(f"pde must be one of {PDE_CHOICES}, got {pde!r}")
@@ -292,7 +333,7 @@ def run_sampling_benchmark(
         parsed.append((base, variant))
     return [
         _train_one(pde, s, epochs, batch, lr, seed, arch=arch, rar=rar,
-                   rl_variant=v)
+                   rl_variant=v, windows=windows)
         for s, v in parsed
     ]
 

@@ -33,7 +33,8 @@ if nu is not None:
     RECIPES[pde_key]["pde"]["parameters"]["nu"] = nu
 rs = run_sampling_benchmark(pde=pde_key, epochs={epochs}, batch={batch},
                             lr={lr}, seed={seed}, arch={arch!r},
-                            strategies={strategies!r}, rar={rar!r})
+                            strategies={strategies!r}, rar={rar!r},
+                            windows={windows})
 for r in rs:
     r.pde = label
     print("RESULT " + json.dumps(r.__dict__))
@@ -58,6 +59,9 @@ def main() -> int:
     ap.add_argument("--rar", default="",
                     help="RAD overrides as k=v comma list, e.g. "
                          "'uniform_floor=4,replace=0'")
+    ap.add_argument("--windows", type=int, default=0,
+                    help="expanding-horizon curriculum phases (rows are "
+                         "labeled <pde>_tm<W>; the non-stationary regime)")
     args = ap.parse_args()
 
     strategies = args.strategies.split(",") if args.strategies else None
@@ -81,11 +85,13 @@ def main() -> int:
     failures = 0
     for seed in (int(s) for s in args.seeds.split(",")):
         label = args.pde + ("_sharp" if args.nu is not None else "")
+        if args.windows:
+            label += f"_tm{args.windows}"
         code = _RUN_ONE.format(
             pde=label, pde_key=args.pde, nu=args.nu,
             epochs=args.epochs, batch=args.batch,
             lr=args.lr, seed=seed, arch=args.arch,
-            strategies=strategies, rar=rar,
+            strategies=strategies, rar=rar, windows=args.windows,
         )
         print(f"=== {args.pde} seed={seed} ===", flush=True)
         proc = subprocess.run(

@@ -108,3 +108,21 @@ def test_adaptive_unknown_variant_raises():
     with pytest.raises(ValueError, match="variant"):
         run_sampling_benchmark(pde="heat", strategies=["adaptive[bogus]"],
                                epochs=2, batch=32)
+
+
+def test_sampling_windows_curriculum_runs_all_strategies():
+    """Round-5 non-stationary regime: windows=2 expanding-horizon
+    curriculum runs every strategy class (uniform / RAR / DQN variant)
+    with agent+optimizer carried across phases and finite results."""
+    import numpy as np
+
+    rs = run_sampling_benchmark(
+        pde="burgers", strategies=["uniform", "residual_based",
+                                   "adaptive[resfeat]"],
+        epochs=6, batch=32, seed=0, windows=2,
+    )
+    assert len(rs) == 3
+    for r in rs:
+        assert r.epochs == 6
+        assert np.isfinite(r.final_loss)
+        assert np.isfinite(r.rel_l2)
