@@ -68,6 +68,17 @@ def _numpy_shim(model):
     )
 
 
+# Largest tile measured to FIT scoped VMEM on hardware, keyed by
+# (stacked_streams, width) — benchmark_results/fused_kernel_ab.json:
+#   (4, 512) burgers-class 256-wide: tile 64 runs, 128 OOMs (round 4);
+#   (5, 512) kdv-class order-3:      tile 32 runs (1.08x vs XLA with
+#            causal), 64 OOMs (round 5).
+# The analytic _LIVE_TENSORS formula is deliberately conservative and
+# underestimates these (it picked 16 for kdv — a measured 0.89x LOSS);
+# measured entries override it.
+_MEASURED_TILES = {(4, 512): 64, (5, 512): 32}
+
+
 def pick_tile(
     n_points: int, stacked_streams: int, width: int, causal: bool = False
 ) -> int:
@@ -76,11 +87,15 @@ def pick_tile(
     ``causal`` adds the (tile, tile) strict-lower-triangular prefix matrix
     the causal variant materializes in VMEM (see ``make_fused_residual_loss``).
     """
-    per_row = stacked_streams * width * 4 * _LIVE_TENSORS
-    tile = 1 << max(int(np.floor(np.log2(max(_VMEM_BUDGET_BYTES // max(per_row, 1), 8)))), 3)
-    if causal:
-        while tile > 8 and tile * per_row + 4 * tile * tile > _VMEM_BUDGET_BYTES:
-            tile //= 2
+    tile = _MEASURED_TILES.get((stacked_streams, width))
+    if tile is None:
+        per_row = stacked_streams * width * 4 * _LIVE_TENSORS
+        tile = 1 << max(
+            int(np.floor(np.log2(max(_VMEM_BUDGET_BYTES // max(per_row, 1), 8)))), 3
+        )
+        if causal:
+            while tile > 8 and tile * per_row + 4 * tile * tile > _VMEM_BUDGET_BYTES:
+                tile //= 2
     while n_points % tile:
         tile //= 2
     return max(tile, 8)
