@@ -305,12 +305,19 @@ RECIPES: Dict[str, dict] = {
             initial_condition={"type": "spectral"},
             boundary_conditions={"periodic": {}},
         ),
+        # Round-5 lever (the error-channel-aware term the round-4
+        # obstruction analysis called for): loss_weights.mu_h2 penalizes
+        # mean-square LAPLACIAN of the compatibility residual measured
+        # SPECTRALLY (pdes/cahn_hilliard.py:_mu_h2_penalty) — the
+        # k²-amplified μ-channel noise the plain L2 residual cannot see.
+        # Probes at ep1500 seed 0 (probe_matrix.csv): baseline 2.3e-2,
+        # w_mu_h2=0.1 -> 3.4e-3 (6.7x), w_mu_h2=1.0 -> 1.4e-2 (too stiff).
         training=dict(
             num_epochs=8000, num_collocation_points=40000, batch_size=8192,
             num_boundary_points=4096, num_initial_points=4096,
             optimizer="adam_lbfgs", adam_lbfgs_switch_ratio=0.5,
             learning_rate=2e-3, weight_decay=0.0,
-            loss_weights={"mass": 100.0},
+            loss_weights={"mass": 100.0, "mu_h2": 0.1},
             causal_eps=1.0,
         ),
     ),
