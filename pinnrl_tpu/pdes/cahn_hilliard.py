@@ -158,13 +158,26 @@ class CahnHilliardEquation(PDEBase):
         tg = jnp.repeat(ts, G, axis=0)
         r = self.compute_residual(apply_fn, params, xg, tg, coeffs)
         r_mu = r.reshape(K, G, -1)[..., 1]
-        rhat = jnp.fft.rfft(r_mu, axis=1) / G
-        kf = (2.0 * jnp.pi / L) * jnp.arange(G // 2 + 1)
-        idx = jnp.arange(G // 2 + 1)
+        # Truncated DFT as matmul, NOT jnp.fft: the axon TPU backend's FFT
+        # adjoint is unreliable under jit (the FNO hit UNIMPLEMENTED; long
+        # CH runs crashed the worker outright — round-5 queue logs). Real
+        # cos/sin contractions lower as plain MXU matmuls everywhere.
+        import numpy as _np
+
+        idx_np = _np.arange(G // 2 + 1)
+        theta = 2.0 * _np.pi * _np.outer(_np.arange(G), idx_np) / G  # (G, M)
+        cosm = jnp.asarray(_np.cos(theta), r_mu.dtype)
+        sinm = jnp.asarray(_np.sin(theta), r_mu.dtype)
+        re = (r_mu @ cosm) / G
+        im = (r_mu @ sinm) / G  # sign-flipped vs rfft; |.|^2 is identical
+        kf = jnp.asarray((2.0 * _np.pi / L) * idx_np, r_mu.dtype)
         # One-sided spectrum: double interior modes (Parseval); DC and (for
         # even G) Nyquist appear once.
-        mult = jnp.where((idx == 0) | (idx == G // 2), 1.0, 2.0)
-        h2 = jnp.mean(jnp.sum(mult * (kf**2 * jnp.abs(rhat)) ** 2, axis=1))
+        mult = jnp.asarray(
+            _np.where((idx_np == 0) | (idx_np == G // 2), 1.0, 2.0),
+            r_mu.dtype,
+        )
+        h2 = jnp.mean(jnp.sum(mult * kf**4 * (re**2 + im**2), axis=1))
         losses["mu_h2"] = h2
         losses["total"] = losses["total"] + active * w_h2 * h2
         return losses
