@@ -32,6 +32,34 @@ class BlackScholesEquation(PDEBase):
     def _r(self, coeffs: Optional[Coeffs]):
         return self.coeff(coeffs, "r", default=0.05)
 
+    def _sample_initial_points(self, key: jax.Array, n: int):
+        """Payoff-kink-aware IC sampling (round 5, VERDICT r4 job #6).
+
+        The error-field diagnosis (r5_queue3 log) localized the recipe's
+        1000x max-error outlier to EXACTLY (t=maturity, S=strike): the
+        non-differentiable payoff kink, where uniform IC sampling puts
+        ~n/200 points per unit of S. ``parameters.ic_strike_focus`` = f
+        draws f*n of the initial points from a Gaussian around the strike
+        (width ``parameters.ic_strike_width``, default 2.5% of the span)
+        so the IC loss actually resolves the kink; the rest stay uniform."""
+        frac = float(self.parameters.get("ic_strike_focus", 0.0) or 0.0)
+        if frac <= 0.0:
+            return super()._sample_initial_points(key, n)
+        spec = self.settings.exact_solution or {}
+        strike = float(spec.get("strike_price", spec.get("strike", 1.0)))
+        los, his = self._space_bounds()
+        span = float(his[0] - los[0])
+        width = float(self.parameters.get("ic_strike_width", 0.025 * span))
+        k_u, k_g = jax.random.split(key)
+        n_focus = int(round(frac * n))
+        x_u = jax.random.uniform(
+            k_u, (n - n_focus, self.dimension), minval=los, maxval=his
+        )
+        x_g = strike + width * jax.random.normal(k_g, (n_focus, self.dimension))
+        x_g = jnp.clip(x_g, los, his)
+        x = jnp.concatenate([x_u, x_g], axis=0)
+        return x, jnp.full((n, 1), self.time_domain[0], jnp.float32)
+
     def canonicalize_coeffs(self, coeffs):
         """sigma appears in the residual only as sigma^2: identification is
         up to sign (observed: a seed converging to -0.1996 for truth 0.2).

@@ -113,6 +113,10 @@ def main():
             cfg.training.loss_weights["mass"] = float(v)
         elif k == "w_mu_h2":
             cfg.training.loss_weights["mu_h2"] = float(v)
+        elif k == "ic_focus":
+            cfg.pde.parameters["ic_strike_focus"] = float(v)
+        elif k == "ic_width":
+            cfg.pde.parameters["ic_strike_width"] = float(v)
         elif k == "tm":
             tm_windows = int(v)
         elif k == "formulation":

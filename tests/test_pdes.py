@@ -182,3 +182,37 @@ def test_heat_initial_points_anchor_at_window_start():
     pde = create_pde(cfg)
     _, t_i = pde._sample_initial_points(jax.random.PRNGKey(0), 8)
     np.testing.assert_allclose(np.asarray(t_i), 1.5)
+
+
+def test_black_scholes_strike_focused_ic_sampling():
+    """Round-5 payoff-kink lever: ic_strike_focus concentrates a fraction
+    of the initial points around the strike (the diagnosed max-error
+    site); points stay in-domain and the IC loss remains finite."""
+    import numpy as np
+
+    from pinnrl_tpu.config import load_config
+    from pinnrl_tpu.models import PINNModel
+    from pinnrl_tpu.pdes import create_pde
+
+    cfg = load_config(pde_type="black_scholes", architecture="fourier")
+    cfg.pde.parameters.update(
+        {"ic_strike_focus": 0.5, "ic_strike_width": 5.0,
+         "time_convention": "to_maturity"}
+    )
+    cfg.pde.exact_solution = {"type": "black_scholes", "strike": 100.0,
+                              "option_type": "call", "cdf": True}
+    pde = create_pde(cfg)
+    x, t = pde._sample_initial_points(jax.random.PRNGKey(0), 512)
+    assert x.shape == (512, 1) and t.shape == (512, 1)
+    (lo, hi) = pde.domain[0]
+    xs = np.asarray(x).reshape(-1)
+    assert xs.min() >= lo and xs.max() <= hi
+    # Concentration: far more points within strike +- 2 widths than the
+    # uniform density would put there (uniform: 20/200 of the mass).
+    near = np.mean(np.abs(xs - 100.0) < 10.0)
+    assert near > 0.3
+    model = PINNModel(cfg, seed=0)
+    xx, tt = pde.generate_collocation_points(jax.random.PRNGKey(1), 64)
+    L = pde.compute_loss(model.apply, model.params, xx, tt,
+                         key=jax.random.PRNGKey(2))
+    assert np.isfinite(float(L["total"]))
