@@ -152,3 +152,28 @@ def test_black_scholes_sigma_canonical_sign():
     cfg2 = load_config(pde_type="heat", architecture="feedforward")
     pde2 = create_pde(cfg2)
     assert pde2.canonicalize_coeffs({"alpha": -0.01}) == {"alpha": -0.01}
+
+
+def test_time_marching_mutate_hook_applies_per_window():
+    """Round-5 probe support: the mutate hook rewrites every window config
+    (model/training overrides) while preserving the window-specific
+    time_domain and epochs (scripts/probe_recipe.py tm=N path)."""
+    import numpy as np
+
+    from pinnrl_tpu.benchmarks.convergence import run_time_marching
+
+    seen = []
+
+    def mutate(wcfg):
+        wcfg.model.hidden_dims = [8, 8]
+        wcfg.model.arch_params["mapping_size"] = 4
+        seen.append((tuple(wcfg.pde.time_domain), wcfg.training.num_epochs))
+
+    r = run_time_marching(
+        "heat", seed=0, n_windows=2, epochs_per_window=2, mutate=mutate
+    )
+    assert len(seen) == 2
+    (td0, ep0), (td1, ep1) = seen
+    assert td0[1] == td1[0]          # windows abut
+    assert ep0 == 2 and ep1 == 2     # per-window epochs preserved
+    assert np.isfinite(r.rel_l2)
