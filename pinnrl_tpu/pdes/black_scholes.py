@@ -48,8 +48,12 @@ class BlackScholesEquation(PDEBase):
         spec = self.settings.exact_solution or {}
         strike = float(spec.get("strike_price", spec.get("strike", 1.0)))
         los, his = self._space_bounds()
-        span = float(his[0] - los[0])
-        width = float(self.parameters.get("ic_strike_width", 0.025 * span))
+        # Static span from the config domain (jit-safe: _space_bounds may
+        # return traced arrays inside the scanned train step).
+        lo_f, hi_f = (float(v) for v in self.domain[0])
+        width = float(
+            self.parameters.get("ic_strike_width", 0.025 * (hi_f - lo_f))
+        )
         k_u, k_g = jax.random.split(key)
         n_focus = int(round(frac * n))
         x_u = jax.random.uniform(
