@@ -1,0 +1,37 @@
+#!/bin/bash
+# Round-5 TPU queue #6 (after queue5 diagnostics):
+#   1. CH-dynamics officials, 3 seeds ep8000, adam-polish recipe
+#      (lbfgs phase kernel-faults today's worker — see recipe comment).
+#   2. Black-Scholes strike-focused IC probes (jit fix landed).
+#   3. DQN kdv completion + non-stationary study.
+cd /root/repo
+export PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH}
+while kill -0 "$(cat /tmp/r5_queue5.pid 2>/dev/null)" 2>/dev/null; do sleep 20; done
+
+echo "=== CH dynamics OFFICIAL v2: 3 seeds ep8000 (adam polish) ==="
+python scripts/tpu_wait_healthy.py 10800
+python scripts/run_convergence_suite.py --pdes cahn_hilliard_dynamics \
+    --seeds 0,1,2 --csv benchmark_results/convergence_r3.csv \
+    --timeout 10800 --retries 6
+
+echo "=== BS strike-focused probes (fixed) ==="
+bash scripts/probe_retry.sh 2400 black_scholes epochs=1500 seed=0 ic_focus=0.5
+bash scripts/probe_retry.sh 2400 black_scholes epochs=1500 seed=0 ic_focus=0.5 ic_width=2.0
+
+SEEDS_REST="11,12,13,14,15,16,17,18,19"
+STRATS="residual_based,adaptive,adaptive[resfeat],adaptive[improve],adaptive[resfeat_improve]"
+echo "=== DQN: kdv seeds 11-19 ==="
+python scripts/tpu_wait_healthy.py 10800
+python scripts/run_sampling_suite.py --pde kdv --seeds "$SEEDS_REST" \
+    --epochs 10000 --batch 512 --strategies "$STRATS" \
+    --csv benchmark_results/sampling_r4.csv
+
+SEEDS20="0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,17,18,19"
+echo "=== DQN: non-stationary regime (kdv, windows=4, 20 seeds) ==="
+python scripts/tpu_wait_healthy.py 10800
+python scripts/run_sampling_suite.py --pde kdv --seeds "$SEEDS20" \
+    --epochs 10000 --batch 512 --windows 4 \
+    --strategies "uniform,residual_based,adaptive,adaptive[resfeat]" \
+    --csv benchmark_results/sampling_r5.csv
+
+echo "=== r5_queue6 done ==="
