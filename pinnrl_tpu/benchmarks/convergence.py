@@ -312,17 +312,18 @@ RECIPES: Dict[str, dict] = {
         # k²-amplified μ-channel noise the plain L2 residual cannot see.
         # Probes at ep1500 seed 0 (probe_matrix.csv): baseline 2.3e-2,
         # w_mu_h2=0.1 -> 3.4e-3 (6.7x), w_mu_h2=1.0 -> 1.4e-2 (too stiff).
-        # phase2_optimizer="adam": the round-5 bench worker DETERMINISTICALLY
-        # kernel-faults on the CH L-BFGS phase (5 resumed official attempts
-        # all banked exactly 4000 adam epochs then died at the switch; the
-        # early-switch diagnostic probe reproduced it at epoch 200 — r5
-        # queue logs), while the adam cosine polish runs clean. Revert to
-        # lbfgs polish when the worker is healthy; same 8k-epoch budget.
+        # Round-5 bench-worker note: the CH L-BFGS phase intermittently
+        # kernel-faults the degraded axon worker (officials banked exactly
+        # 4000 adam epochs then died at the switch several times; the
+        # early-switch diagnostic crashed once then PASSED on retry —
+        # r5 queue logs). The lbfgs polish is load-bearing (the same
+        # diagnostic with phase2=adam scored 0.85 vs lbfgs's 6.4e-3), so
+        # the recipe keeps lbfgs and the suite rides crashes with
+        # checkpoint resume + extra retries.
         training=dict(
             num_epochs=8000, num_collocation_points=40000, batch_size=8192,
             num_boundary_points=4096, num_initial_points=4096,
             optimizer="adam_lbfgs", adam_lbfgs_switch_ratio=0.5,
-            phase2_optimizer="adam", phase2_learning_rate=2e-4,
             learning_rate=2e-3, weight_decay=0.0,
             loss_weights={"mass": 100.0, "mu_h2": 0.1},
             causal_eps=1.0,
