@@ -34,6 +34,14 @@ r = run_convergence("cahn_hilliard_dynamics", seed={seed}, epochs={epochs},
 print("RESULT " + json.dumps(r.__dict__))
 """
 
+# Per-bite PRNG offset: the trainer derives the fixed L-BFGS batch from
+# PRNGKey(0xF1EED ^ seed), so identical seeds would make every bite
+# re-optimize the SAME 16k batch to the same plateau (observed: rel_l2
+# frozen at 4.560e-3 across three bites). Varying the stream per bite
+# restores the multi-round fresh-batch SAA semantics; the model params
+# come from the checkpoint, so nothing else depends on the bite seed.
+_BITE_SEED_STRIDE = 101
+
 _HEALTH = [sys.executable, str(ROOT / "scripts" / "tpu_wait_healthy.py")]
 
 
@@ -61,7 +69,7 @@ def main() -> int:
     # First bite: up to `start` epochs (the adam phase; skipped when a
     # banked checkpoint already covers it).
     last = None
-    for horizon in horizons:
+    for k, horizon in enumerate(horizons):
         if args.resume_dir and horizon == args.start and ckpt.exists():
             continue  # adam phase already banked
         ok = False
@@ -70,8 +78,12 @@ def main() -> int:
                 print(f"--- bite {horizon} retry {attempt} ---", flush=True)
             subprocess.run(_HEALTH + ["10800"], timeout=11000)
             resume = str(ckpt) if ckpt.exists() else None
+            bite_seed = (
+                args.seed if resume is None
+                else args.seed + _BITE_SEED_STRIDE * max(k, 1)
+            )
             code = _RUN_ONE.format(
-                seed=args.seed, epochs=horizon, exp=str(exp), resume=resume
+                seed=bite_seed, epochs=horizon, exp=str(exp), resume=resume
             )
             proc = subprocess.run(
                 [sys.executable, "-c", code],
@@ -104,7 +116,7 @@ def main() -> int:
         f"{last['pde']},{last['architecture']},{last['epochs']},"
         f"{last['rel_l2']:.6e},{last['max_error']:.6e},"
         f"{last['final_train_loss']:.6e},{last['wall_time_s']:.1f},"
-        f"{last['points_per_sec']:.0f},{last['seed']}\n"
+        f"{last['points_per_sec']:.0f},{args.seed}\n"
     )
     with open(args.csv, "a") as f:
         f.write(row)
