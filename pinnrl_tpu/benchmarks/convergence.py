@@ -491,12 +491,19 @@ def run_convergence(
     epochs: Optional[int] = None,
     experiment_dir: Optional[str] = None,
     resume_from: Optional[str] = None,
+    train_seed: Optional[int] = None,
 ) -> ConvergenceResult:
     """``experiment_dir`` turns on the trainer's periodic mid-run
     checkpointing; ``resume_from`` restarts from such a checkpoint — together
     they let a suite ride out TPU worker crashes (observed MTBF ~10 min on a
     degraded backend) by re-running the same recipe in a fresh process
-    without losing completed epochs. Not supported for multi-stage recipes."""
+    without losing completed epochs. Not supported for multi-stage recipes.
+
+    ``train_seed`` (default: ``seed``) varies ONLY the training PRNG
+    stream. The model seed must stay fixed across resumed segments — the
+    Fourier basis lives in model CONSTANTS keyed by the model seed, not in
+    the checkpointed params — so resumable multi-segment runs that want
+    fresh L-BFGS batches per segment vary train_seed, never seed."""
     recipe = RECIPES[pde_key]
     cfg = build_recipe_config(pde_key, epochs)
     t = cfg.training
@@ -544,7 +551,8 @@ def run_convergence(
     trainer = PDETrainer(model, pde, cfg)
     t0 = time.perf_counter()
     res = trainer.train(
-        seed=seed, experiment_dir=experiment_dir, resume_from=resume_from
+        seed=seed if train_seed is None else train_seed,
+        experiment_dir=experiment_dir, resume_from=resume_from,
     )
     wall = time.perf_counter() - t0
     params = trainer._final_state["params"]["net"]

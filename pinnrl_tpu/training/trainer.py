@@ -740,6 +740,15 @@ class PDETrainer:
         if resume_from:
             state, start_epoch = self._load_checkpoint(resume_from, state)
             logger.info("Resumed from %s at epoch %d", resume_from, start_epoch)
+            # The checkpoint restores lbfgs_key wholesale; fold the run's
+            # seed back in so resumed runs launched with DIFFERENT seeds
+            # draw fresh fixed L-BFGS batches (multi-round SAA across
+            # resumed segments — scripts/ch_lbfgs_bites.py), while crash
+            # retries with the SAME seed keep the deterministic batch.
+            state = {
+                **state,
+                "lbfgs_key": jax.random.fold_in(state["lbfgs_key"], seed),
+            }
         self.points_history: list = getattr(self, "points_history", [])
         epoch_fn = self._build_epoch_fn(optimizer, batch_size, steps_per_epoch, lbfgs_mode)
         val_fn = self._build_val_fn(self.config.evaluation.num_points)

@@ -30,16 +30,17 @@ _RUN_ONE = """
 import json
 from pinnrl_tpu.benchmarks.convergence import run_convergence
 r = run_convergence("cahn_hilliard_dynamics", seed={seed}, epochs={epochs},
-                    experiment_dir={exp!r}, resume_from={resume!r})
+                    experiment_dir={exp!r}, resume_from={resume!r},
+                    train_seed={train_seed})
 print("RESULT " + json.dumps(r.__dict__))
 """
 
-# Per-bite PRNG offset: the trainer derives the fixed L-BFGS batch from
-# PRNGKey(0xF1EED ^ seed), so identical seeds would make every bite
-# re-optimize the SAME 16k batch to the same plateau (observed: rel_l2
-# frozen at 4.560e-3 across three bites). Varying the stream per bite
-# restores the multi-round fresh-batch SAA semantics; the model params
-# come from the checkpoint, so nothing else depends on the bite seed.
+# Per-bite TRAIN seed offset: the restored lbfgs_key is folded with the
+# train seed on resume, so distinct bites draw fresh fixed L-BFGS batches
+# (multi-round SAA) while crash retries of the SAME bite stay
+# deterministic. The MODEL seed must never vary across bites — the Fourier
+# basis lives in model constants keyed by it, not in the checkpoint
+# (varying it scored rel_l2 0.998: trained params against a foreign basis).
 _BITE_SEED_STRIDE = 101
 
 _HEALTH = [sys.executable, str(ROOT / "scripts" / "tpu_wait_healthy.py")]
@@ -78,12 +79,13 @@ def main() -> int:
                 print(f"--- bite {horizon} retry {attempt} ---", flush=True)
             subprocess.run(_HEALTH + ["10800"], timeout=11000)
             resume = str(ckpt) if ckpt.exists() else None
-            bite_seed = (
+            train_seed = (
                 args.seed if resume is None
                 else args.seed + _BITE_SEED_STRIDE * max(k, 1)
             )
             code = _RUN_ONE.format(
-                seed=bite_seed, epochs=horizon, exp=str(exp), resume=resume
+                seed=args.seed, epochs=horizon, exp=str(exp), resume=resume,
+                train_seed=train_seed,
             )
             proc = subprocess.run(
                 [sys.executable, "-c", code],
